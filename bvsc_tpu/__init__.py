@@ -1,0 +1,29 @@
+"""bvsc_tpu — TPU-native (JAX/XLA/Pallas) bitrate-scalable variational speech codec.
+
+A from-scratch framework with the capabilities of
+``BenjSta/bernoulli-var-speech-codec`` (IEEE Access 2024), redesigned
+TPU-first: scan-based recurrent codec core, XLA-compiled DSP frontend,
+causal vocoder, data-parallel trainers over ``jax.sharding`` meshes, and a
+batched multi-stream serving engine.
+"""
+
+from bvsc_tpu.config import CodecConfig, VocoderConfig, load_config
+
+__all__ = [
+    "CodecConfig",
+    "VocoderConfig",
+    "load_config",
+    "BVRNNCodecModel",
+]
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy import: keep `import bvsc_tpu` light (config-only) so data/eval
+    # tools can load without pulling in JAX model code.
+    if name == "BVRNNCodecModel":
+        from bvsc_tpu.codec import BVRNNCodecModel
+
+        return BVRNNCodecModel
+    raise AttributeError(name)
