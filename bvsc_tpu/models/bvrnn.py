@@ -1,0 +1,369 @@
+"""Bernoulli-valued Variational RNN (BVRNN) — TPU-native scan formulation.
+
+Re-creation of the reference codec core (``bvrnn.py:13-229``) as pure
+functions over an explicit parameter pytree, with the per-frame recurrence
+expressed as ``jax.lax.scan`` so XLA compiles one fused step:
+
+  * training forward with scheduled sampling + Bernoulli KL
+    (reference ``bvrnn.py:86-160``),
+  * greedy streaming ``encode`` (``bvrnn.py:163-209``),
+  * streaming ``decode`` (``bvrnn.py:211-229``).
+
+Key invariant (the closed-loop state sync, reference ``bvrnn.py:204-206`` /
+``:226-227``): both encode and decode advance the shared GRU only with
+*generated* features, so their hidden states evolve identically given the
+binary codes alone — nothing but codes needs transmitting.
+
+TPU-first design: the frame loop is a ``lax.scan`` whose body is a handful
+of (B, 1024)x(1024, 1024) matmuls — MXU-shaped; ``phi_x`` over the whole
+sequence is hoisted out of the scan as one large batched matmul.  All
+randomness is explicit (`jax.random`), threaded as per-step scan inputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Any  # nested dict/list pytree of jnp arrays
+
+
+@dataclasses.dataclass(frozen=True)
+class BVRNNConfig:
+    x_dim: int = 80
+    h_dim: int = 1024
+    z_dim: int = 64
+    var_bit: bool = True
+    # jnp dtype for parameters/compute. float32 gives reference parity;
+    # bfloat16 roughly halves HBM traffic of the weight-bound scan.
+    dtype: Any = jnp.float32
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, fan_in, fan_out, dtype):
+    """torch.nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(fan_in)
+    return {
+        "w": jax.random.uniform(kw, (fan_in, fan_out), dtype, -bound, bound),
+        "b": jax.random.uniform(kb, (fan_out,), dtype, -bound, bound),
+    }
+
+
+def _mlp_init(key, dims, dtype):
+    keys = jax.random.split(key, len(dims) - 1)
+    return [
+        _dense_init(k, dims[i], dims[i + 1], dtype) for i, k in enumerate(keys)
+    ]
+
+
+def init_bvrnn_params(
+    key: jax.Array,
+    cfg: BVRNNConfig,
+    mean_std_mel: tuple[np.ndarray, np.ndarray] | None = None,
+    log_sigma_init: float = -1.0,
+) -> Params:
+    """Build a fresh parameter pytree (layer dims: reference ``bvrnn.py:44-83``)."""
+    x, h, z = cfg.x_dim, cfg.h_dim, cfg.z_dim
+    k = jax.random.split(key, 7)
+    if mean_std_mel is None:
+        mean_std_mel = (np.zeros(x), np.ones(x))
+    bound = 1.0 / np.sqrt(h)
+    kih, khh, bih, bhh = jax.random.split(k[6], 4)
+    return {
+        # frozen mel statistics + trainable KLD/reconstruction balance
+        # (reference bvrnn.py:30-33)
+        "mean_mel": jnp.asarray(mean_std_mel[0], cfg.dtype),
+        "std_mel": jnp.asarray(mean_std_mel[1], cfg.dtype),
+        "log_sigma": jnp.asarray([log_sigma_init], cfg.dtype),
+        "phi_x": _mlp_init(k[0], [x, h, h, h], cfg.dtype),
+        "phi_z": _mlp_init(k[1], [z, h, h, h], cfg.dtype),
+        "enc": _mlp_init(k[2], [2 * h, h, h, z], cfg.dtype),
+        "prior": _mlp_init(k[3], [h, h, h, z], cfg.dtype),
+        "dec": _mlp_init(k[4], [2 * h, h, h, h, x], cfg.dtype),
+        # single-layer GRU, input 2h, hidden h; weights stored transposed
+        # (in, 3h) with gates packed [r|z|n] like torch (bvrnn.py:83)
+        "gru": {
+            "w_ih": jax.random.uniform(kih, (2 * h, 3 * h), cfg.dtype, -bound, bound),
+            "w_hh": jax.random.uniform(khh, (h, 3 * h), cfg.dtype, -bound, bound),
+            "b_ih": jax.random.uniform(bih, (3 * h,), cfg.dtype, -bound, bound),
+            "b_hh": jax.random.uniform(bhh, (3 * h,), cfg.dtype, -bound, bound),
+        },
+    }
+
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Functional pieces
+# ---------------------------------------------------------------------------
+
+
+def _dense(p, x, precision):
+    return jnp.matmul(x, p["w"], precision=precision) + p["b"]
+
+
+def _mlp_elu(layers, x, precision, final_activation=None):
+    """Linear+ELU stack; last layer gets ``final_activation`` (None/sigmoid/elu)."""
+    for p in layers[:-1]:
+        x = jax.nn.elu(_dense(p, x, precision))
+    x = _dense(layers[-1], x, precision)
+    if final_activation is not None:
+        x = final_activation(x)
+    return x
+
+
+def phi_x_apply(params, y, precision):
+    """3x(Linear+ELU) feature net (reference bvrnn.py:44-50)."""
+    return _mlp_elu(params["phi_x"], y, precision, jax.nn.elu)
+
+
+def phi_z_apply(params, z, precision):
+    return _mlp_elu(params["phi_z"], z, precision, jax.nn.elu)
+
+
+def enc_apply(params, x, precision):
+    return _mlp_elu(params["enc"], x, precision, jax.nn.sigmoid)
+
+
+def prior_apply(params, h, precision):
+    return _mlp_elu(params["prior"], h, precision, jax.nn.sigmoid)
+
+
+def dec_apply(params, x, precision):
+    return _mlp_elu(params["dec"], x, precision, None)
+
+
+def gru_step(gru: Params, x: jax.Array, h: jax.Array, precision) -> jax.Array:
+    """One torch-semantics GRU step (gates packed [r|z|n]).
+
+    r = sig(Wir x + bir + Whr h + bhr); z likewise;
+    n = tanh(Win x + bin + r*(Whn h + bhn)); h' = (1-z)n + z h.
+    """
+    gi = jnp.matmul(x, gru["w_ih"], precision=precision) + gru["b_ih"]
+    gh = jnp.matmul(h, gru["w_hh"], precision=precision) + gru["b_hh"]
+    H = h.shape[-1]
+    i_r, i_z, i_n = gi[..., :H], gi[..., H : 2 * H], gi[..., 2 * H :]
+    h_r, h_z, h_n = gh[..., :H], gh[..., H : 2 * H], gh[..., 2 * H :]
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+def bit_mask_from_bitrate(var_bitrate: jax.Array, z_dim: int) -> jax.Array:
+    """First-k bit-priority mask: (B, T) bits/frame -> (B, T, z_dim) float
+    (reference bvrnn.py:104-106)."""
+    bit_idx = jnp.arange(z_dim)
+    return (var_bitrate[..., None] > bit_idx).astype(jnp.float32)
+
+
+def _apply_bit_mask(z, mask):
+    """Masked-out bits are set to the uninformative midpoint 0.5
+    (reference bvrnn.py:129,193-194)."""
+    return z * mask + 0.5 * (1.0 - mask)
+
+
+def _normalize(params, y):
+    return (y - params["mean_mel"]) / params["std_mel"]
+
+
+# ---------------------------------------------------------------------------
+# Inference: encode / decode scans
+# ---------------------------------------------------------------------------
+
+
+def encode(
+    params: Params,
+    cfg: BVRNNConfig,
+    y: jax.Array,
+    var_bitrate: jax.Array | None,
+    h: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Greedy encode (reference ``bvrnn.py:163-209``).
+
+    y: (B, T, x_dim) log-mel frames; var_bitrate: (B, T) bits/frame or None;
+    h: (B, h_dim) initial hidden state.
+    Returns (codes (B, T, z_dim), h_seq (B, T, h_dim)) where ``h_seq[t]`` is
+    the hidden state *before* consuming frame t (matches reference).
+    """
+    prec = cfg.precision
+    ynorm = _normalize(params, y.astype(cfg.dtype))
+    phi_x = phi_x_apply(params, ynorm, prec)  # (B, T, h) — hoisted matmul
+    if cfg.var_bit:
+        assert var_bitrate is not None
+        mask = bit_mask_from_bitrate(var_bitrate, cfg.z_dim).astype(cfg.dtype)
+    else:
+        mask = jnp.ones((y.shape[0], y.shape[1], cfg.z_dim), cfg.dtype)
+
+    def step(h, xs):
+        phi_x_t, mask_t = xs
+        enc_t = enc_apply(params, jnp.concatenate([phi_x_t, h], -1), prec)
+        z_t = _apply_bit_mask(jnp.round(enc_t), mask_t)
+        phi_z_t = phi_z_apply(params, z_t, prec)
+        dec_t = dec_apply(params, jnp.concatenate([phi_z_t, h], -1), prec)
+        phi_x_gen = phi_x_apply(params, _normalize(params, dec_t), prec)
+        h_next = gru_step(
+            params["gru"], jnp.concatenate([phi_x_gen, phi_z_t], -1), h, prec
+        )
+        return h_next, (z_t, h)
+
+    # scan over time: move T to the leading axis
+    xs = (jnp.swapaxes(phi_x, 0, 1), jnp.swapaxes(mask, 0, 1))
+    h_final, (z_seq, h_seq) = jax.lax.scan(step, h.astype(cfg.dtype), xs)
+    return jnp.swapaxes(z_seq, 0, 1), jnp.swapaxes(h_seq, 0, 1)
+
+
+def encode_with_state(
+    params: Params, cfg: BVRNNConfig, y, var_bitrate, h
+) -> tuple[jax.Array, jax.Array]:
+    """Like :func:`encode` but returns the *final* hidden state — the hook
+    for chunked streaming (reference encode's carried ``h``)."""
+    prec = cfg.precision
+    ynorm = _normalize(params, y.astype(cfg.dtype))
+    phi_x = phi_x_apply(params, ynorm, prec)
+    if cfg.var_bit:
+        assert var_bitrate is not None
+        mask = bit_mask_from_bitrate(var_bitrate, cfg.z_dim).astype(cfg.dtype)
+    else:
+        mask = jnp.ones((y.shape[0], y.shape[1], cfg.z_dim), cfg.dtype)
+
+    def step(h, xs):
+        phi_x_t, mask_t = xs
+        enc_t = enc_apply(params, jnp.concatenate([phi_x_t, h], -1), prec)
+        z_t = _apply_bit_mask(jnp.round(enc_t), mask_t)
+        phi_z_t = phi_z_apply(params, z_t, prec)
+        dec_t = dec_apply(params, jnp.concatenate([phi_z_t, h], -1), prec)
+        phi_x_gen = phi_x_apply(params, _normalize(params, dec_t), prec)
+        h_next = gru_step(
+            params["gru"], jnp.concatenate([phi_x_gen, phi_z_t], -1), h, prec
+        )
+        return h_next, z_t
+
+    xs = (jnp.swapaxes(phi_x, 0, 1), jnp.swapaxes(mask, 0, 1))
+    h_final, z_seq = jax.lax.scan(step, h.astype(cfg.dtype), xs)
+    return jnp.swapaxes(z_seq, 0, 1), h_final
+
+
+def decode(
+    params: Params, cfg: BVRNNConfig, z: jax.Array, h: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Decode codes to mel frames (reference ``bvrnn.py:211-229``).
+
+    z: (B, T, z_dim); h: (B, h_dim). Returns (mel (B, T, x_dim), final h).
+    """
+    prec = cfg.precision
+    phi_z = phi_z_apply(params, z.astype(cfg.dtype), prec)  # hoisted
+
+    def step(h, phi_z_t):
+        dec_t = dec_apply(params, jnp.concatenate([phi_z_t, h], -1), prec)
+        phi_x_gen = phi_x_apply(params, _normalize(params, dec_t), prec)
+        h_next = gru_step(
+            params["gru"], jnp.concatenate([phi_x_gen, phi_z_t], -1), h, prec
+        )
+        return h_next, dec_t
+
+    h_final, dec_seq = jax.lax.scan(
+        step, h.astype(cfg.dtype), jnp.swapaxes(phi_z, 0, 1)
+    )
+    return jnp.swapaxes(dec_seq, 0, 1), h_final
+
+
+# ---------------------------------------------------------------------------
+# Training forward (scheduled sampling + Bernoulli KL)
+# ---------------------------------------------------------------------------
+
+
+def forward_train(
+    params: Params,
+    cfg: BVRNNConfig,
+    y: jax.Array,
+    p_use_gen: jax.Array | float,
+    greedy: bool,
+    var_bitrate: jax.Array | None,
+    rng: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Training-style forward (reference ``bvrnn.py:86-160``).
+
+    Per timestep a single scalar draw chooses between the teacher-forced
+    hidden state ``h`` and the closed-loop ``h2`` (scheduled sampling); the
+    binary bottleneck uses a straight-through estimator (greedy rounding or
+    Bernoulli sampling); the Bernoulli KL(enc || prior) is clamped at 1e-3
+    and bit-masked under variable bitrate.
+
+    Returns (mel_hat (B, T, x_dim), scalar KLD).
+    """
+    prec = cfg.precision
+    B, T, _ = y.shape
+    ynorm = _normalize(params, y.astype(cfg.dtype))
+    phi_x = phi_x_apply(params, ynorm, prec)
+    if cfg.var_bit:
+        assert var_bitrate is not None
+        mask = bit_mask_from_bitrate(var_bitrate, cfg.z_dim).astype(cfg.dtype)
+    else:
+        mask = jnp.ones((B, T, cfg.z_dim), cfg.dtype)
+
+    k_sched, k_bin = jax.random.split(rng)
+    # one scalar per timestep, shared across the batch (reference bvrnn.py:111)
+    use_gen = jax.random.uniform(k_sched, (T,)) < p_use_gen
+    bin_noise = jax.random.uniform(k_bin, (T, B, cfg.z_dim), cfg.dtype)
+
+    def step(carry, xs):
+        h, h2 = carry
+        phi_x_t, mask_t, use_gen_t, noise_t = xs
+        h_sel = jnp.where(use_gen_t, h2, h)
+
+        enc_t = enc_apply(params, jnp.concatenate([phi_x_t, h_sel], -1), prec)
+        prior_t = prior_apply(params, h_sel, prec)
+
+        # straight-through binarization (reference bvrnn.py:123-126)
+        if greedy:
+            z_hard = jnp.round(enc_t)
+        else:
+            z_hard = jnp.round(noise_t - 0.5 + enc_t)
+        z_t = enc_t + jax.lax.stop_gradient(z_hard - enc_t)
+        z_t = _apply_bit_mask(z_t, mask_t)
+
+        phi_z_t = phi_z_apply(params, z_t, prec)
+        dec_t = dec_apply(params, jnp.concatenate([phi_z_t, h_sel], -1), prec)
+        phi_x_gen = phi_x_apply(params, _normalize(params, dec_t), prec)
+
+        # dual recurrence through the one shared GRU (reference bvrnn.py:142-145)
+        h_next = gru_step(
+            params["gru"], jnp.concatenate([phi_x_t, phi_z_t], -1), h, prec
+        )
+        h2_next = gru_step(
+            params["gru"], jnp.concatenate([phi_x_gen, phi_z_t], -1), h2, prec
+        )
+
+        # Bernoulli KL(enc || prior), clamped (reference bvrnn.py:148-149)
+        c = 1e-3
+        kld_elem = enc_t * (
+            jnp.log(jnp.clip(enc_t, min=c)) - jnp.log(jnp.clip(prior_t, min=c))
+        ) + (1.0 - enc_t) * (
+            jnp.log(jnp.clip(1.0 - enc_t, min=c))
+            - jnp.log(jnp.clip(1.0 - prior_t, min=c))
+        )
+        kld_t = jnp.mean(jnp.sum(kld_elem * mask_t, -1))
+        return (h_next, h2_next), (dec_t, kld_t)
+
+    h0 = jnp.zeros((B, cfg.h_dim), cfg.dtype)
+    xs = (
+        jnp.swapaxes(phi_x, 0, 1),
+        jnp.swapaxes(mask, 0, 1),
+        use_gen,
+        bin_noise,
+    )
+    _, (dec_seq, kld_seq) = jax.lax.scan(step, (h0, h0), xs)
+    return jnp.swapaxes(dec_seq, 0, 1), jnp.mean(kld_seq)

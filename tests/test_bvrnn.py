@@ -1,0 +1,173 @@
+"""Parity + property tests for the scan-based BVRNN vs the reference torch
+implementation (reference ``bvrnn.py``), using random weights moved across
+frameworks through ``bvsc_tpu.convert``."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from bvsc_tpu.convert import bvrnn_params_from_torch, bvrnn_params_to_torch_sd
+from bvsc_tpu.models import bvrnn as jbvrnn
+from torch_ref import import_reference_bvrnn
+
+X_DIM, H_DIM, Z_DIM = 16, 48, 12
+T, B = 25, 3
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    ref = import_reference_bvrnn()
+    torch.manual_seed(0)
+    mean_std = [
+        np.random.default_rng(1).standard_normal(X_DIM).astype("float64") * 0.1,
+        np.abs(np.random.default_rng(2).standard_normal(X_DIM)).astype("float64") + 0.5,
+    ]
+    m = ref.BVRNN(X_DIM, H_DIM, Z_DIM, mean_std, -1.0, True)
+    m.eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def jcfg():
+    return jbvrnn.BVRNNConfig(x_dim=X_DIM, h_dim=H_DIM, z_dim=Z_DIM, var_bit=True)
+
+
+@pytest.fixture(scope="module")
+def jparams(ref_model):
+    return bvrnn_params_from_torch(ref_model.state_dict())
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal((B, T, X_DIM)).astype(np.float32)
+    bits = rng.integers(1, Z_DIM + 1, size=(B, T)).astype(np.float32)
+    return y, bits
+
+
+def test_encode_codes_bitexact(ref_model, jcfg, jparams, data):
+    y, bits = data
+    with torch.no_grad():
+        z_ref, h_ref = ref_model.encode(
+            torch.from_numpy(y), torch.from_numpy(bits),
+            torch.zeros(1, B, H_DIM),
+        )
+    z, h_seq = jbvrnn.encode(
+        jparams, jcfg, jnp.asarray(y), jnp.asarray(bits), jnp.zeros((B, H_DIM))
+    )
+    # binary codes must agree exactly; masked bits are 0.5 on both sides
+    np.testing.assert_array_equal(np.asarray(z), z_ref.numpy())
+    np.testing.assert_allclose(np.asarray(h_seq), h_ref.numpy(), atol=2e-5)
+
+
+def test_decode_matches(ref_model, jcfg, jparams, data):
+    y, bits = data
+    rng = np.random.default_rng(3)
+    z = rng.integers(0, 2, size=(B, T, Z_DIM)).astype(np.float32)
+    with torch.no_grad():
+        mel_ref, h_ref = ref_model.decode(torch.from_numpy(z), torch.zeros(1, B, H_DIM))
+    mel, h = jbvrnn.decode(jparams, jcfg, jnp.asarray(z), jnp.zeros((B, H_DIM)))
+    np.testing.assert_allclose(np.asarray(mel), mel_ref.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h), h_ref.numpy()[0], atol=2e-5)
+
+
+@pytest.mark.parametrize("p_use_gen", [0.0, 1.0])
+def test_forward_train_matches_at_deterministic_p(ref_model, jcfg, jparams, data, p_use_gen):
+    # at p_use_gen 0 or 1 the scheduled-sampling branch is deterministic,
+    # so greedy forward is comparable across frameworks
+    y, bits = data
+    with torch.no_grad():
+        mel_ref, kld_ref = ref_model.forward(
+            torch.from_numpy(y), p_use_gen, True, torch.from_numpy(bits)
+        )
+    mel, kld = jbvrnn.forward_train(
+        jparams, jcfg, jnp.asarray(y), p_use_gen, True, jnp.asarray(bits),
+        jax.random.key(0),
+    )
+    np.testing.assert_allclose(np.asarray(mel), mel_ref.numpy(), atol=3e-5)
+    np.testing.assert_allclose(float(kld), float(kld_ref), atol=1e-4, rtol=1e-4)
+
+
+def test_encode_decode_state_sync(jcfg, jparams, data):
+    """The streaming invariant: decode(h0=0) over encode's codes must see the
+    same hidden trajectory, so decode's output equals the decoder outputs the
+    encoder computed internally (reference bvrnn.py:204-206 / :226-227)."""
+    y, bits = data
+    z, _ = jbvrnn.encode(jparams, jcfg, jnp.asarray(y), jnp.asarray(bits),
+                         jnp.zeros((B, H_DIM)))
+    mel1, h1 = jbvrnn.decode(jparams, jcfg, z, jnp.zeros((B, H_DIM)))
+    # re-encoding the decoded signal is not identity, but decode must be
+    # deterministic and state-synced: run twice, same result
+    mel2, h2 = jbvrnn.decode(jparams, jcfg, z, jnp.zeros((B, H_DIM)))
+    np.testing.assert_array_equal(np.asarray(mel1), np.asarray(mel2))
+
+
+def test_chunked_encode_equals_oneshot(jcfg, jparams, data):
+    y, bits = data
+    ya, yb = jnp.asarray(y[:, :10]), jnp.asarray(y[:, 10:])
+    ba, bb = jnp.asarray(bits[:, :10]), jnp.asarray(bits[:, 10:])
+    z_full, _ = jbvrnn.encode(jparams, jcfg, jnp.asarray(y), jnp.asarray(bits),
+                              jnp.zeros((B, H_DIM)))
+    za, h_mid = jbvrnn.encode_with_state(jparams, jcfg, ya, ba, jnp.zeros((B, H_DIM)))
+    zb, _ = jbvrnn.encode_with_state(jparams, jcfg, yb, bb, h_mid)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate([za, zb], axis=1)), np.asarray(z_full)
+    )
+
+
+def test_bit_mask_properties(jcfg, jparams, data):
+    y, _ = data
+    # k bits => first k entries binary, rest exactly 0.5
+    k = 5
+    bits = jnp.full((B, T), float(k))
+    z, _ = jbvrnn.encode(jparams, jcfg, jnp.asarray(y), bits, jnp.zeros((B, H_DIM)))
+    z = np.asarray(z)
+    assert set(np.unique(z[:, :, :k])) <= {0.0, 1.0}
+    assert (z[:, :, k:] == 0.5).all()
+
+
+def test_causality_of_codes(jcfg, jparams, data):
+    """Changing future frames must not change past codes."""
+    y, bits = data
+    z1, _ = jbvrnn.encode(jparams, jcfg, jnp.asarray(y), jnp.asarray(bits),
+                          jnp.zeros((B, H_DIM)))
+    y2 = y.copy()
+    y2[:, 15:] += 10.0
+    z2, _ = jbvrnn.encode(jparams, jcfg, jnp.asarray(y2), jnp.asarray(bits),
+                          jnp.zeros((B, H_DIM)))
+    np.testing.assert_array_equal(np.asarray(z1)[:, :15], np.asarray(z2)[:, :15])
+
+
+def test_converter_roundtrip(ref_model, jparams):
+    sd = bvrnn_params_to_torch_sd(jparams)
+    for k, v in ref_model.state_dict().items():
+        np.testing.assert_allclose(sd[k], v.numpy(), atol=1e-6, err_msg=k)
+
+
+def test_param_count_matches_reference_scale():
+    """Full-size model must land on the documented 23.45 M params
+    (SURVEY §6 / reference checkpoint size)."""
+    cfg = jbvrnn.BVRNNConfig()
+    params = jbvrnn.init_bvrnn_params(jax.random.key(0), cfg)
+    n = jbvrnn.param_count(params)
+    assert 23.3e6 < n < 23.6e6, n
+
+
+def test_grads_flow_through_straight_through(jcfg, jparams, data):
+    y, bits = data
+
+    def loss_fn(params):
+        mel, kld = jbvrnn.forward_train(
+            params, jcfg, jnp.asarray(y), 0.5, False, jnp.asarray(bits),
+            jax.random.key(1),
+        )
+        return jnp.mean((mel - jnp.asarray(y)) ** 2) + 0.01 * kld
+
+    grads = jax.grad(loss_fn)(jparams)
+    # encoder MLP receives gradient through the straight-through estimator
+    g_enc = np.asarray(grads["enc"][0]["w"])
+    assert np.isfinite(g_enc).all() and np.abs(g_enc).max() > 0
+    g_prior = np.asarray(grads["prior"][0]["w"])
+    assert np.isfinite(g_prior).all() and np.abs(g_prior).max() > 0
