@@ -153,10 +153,11 @@ def vocoder_params_from_torch(sd: Mapping[str, Any], cfg, dtype=np.float32) -> d
     n_res_convs = 3  # 3 (conv1, conv2) pairs per AMP block
     for r in range(num_ups * num_kernels):
         pre = f"resblocks.{r}"
-        # activations alternate a1, a2 per conv pair; stored flat 0..5
+        # activations alternate a1, a2 per conv pair; stored flat 0..5;
+        # alias-free wrapping adds an `.act` level (Activation1d.act)
         act_prefix = (
-            f"{pre}.activations.%d.act.activation"
-            if f"{pre}.activations.0.act.activation.alpha" in sd
+            f"{pre}.activations.%d.act"
+            if f"{pre}.activations.0.act.alpha" in sd
             else f"{pre}.activations.%d"
         )
         block = {
@@ -168,7 +169,7 @@ def vocoder_params_from_torch(sd: Mapping[str, Any], cfg, dtype=np.float32) -> d
     if "activation_post.alpha" in sd:
         params["act_post"] = snake("activation_post")
     else:
-        params["act_post"] = snake("activation_post.act.activation")
+        params["act_post"] = snake("activation_post.act")
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
 
 

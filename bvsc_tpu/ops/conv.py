@@ -1,0 +1,132 @@
+"""1-D convolution ops with torch-compatible semantics, on XLA.
+
+The reference vocoder is built from ``torch.nn.Conv1d`` /
+``ConvTranspose1d`` with *explicit* left-only padding for causality
+(reference ``third_party/BigVGAN/models.py:19-20,107-117,209-233``).  These
+wrappers keep the torch weight layouts — Conv1d (out, in, k) and
+ConvTranspose1d (in, out, k) — so converted checkpoints drop straight in.
+
+Weight-normed layers carry ``{'g', 'v'}`` instead of ``'w'`` (torch
+``weight_norm`` dim=0 reparameterisation, reference ``models.py:140,164,200``);
+:func:`conv_weight` folds on the fly for training, while inference params
+are pre-folded by the converter.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def fold_weight_norm(g: jax.Array, v: jax.Array) -> jax.Array:
+    """w = g * v / ||v||, norm over all dims except dim 0 (torch dim=0)."""
+    axes = tuple(range(1, v.ndim))
+    norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
+    return g * v / norm
+
+
+def conv_weight(p: dict) -> jax.Array:
+    """Materialise the conv weight from either folded or weight-normed params."""
+    if "w" in p:
+        return p["w"]
+    return fold_weight_norm(p["g"], p["v"])
+
+
+def pad1d(x: jax.Array, left: int, right: int = 0, mode: str = "constant") -> jax.Array:
+    """Explicit (left, right) padding on the time axis of (B, C, T)."""
+    if left == 0 and right == 0:
+        return x
+    if mode == "constant":
+        return jnp.pad(x, ((0, 0), (0, 0), (left, right)))
+    return jnp.pad(x, ((0, 0), (0, 0), (left, right)), mode=mode)
+
+
+def conv1d(
+    x: jax.Array,
+    p: dict,
+    *,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    precision=DEFAULT_PRECISION,
+) -> jax.Array:
+    """torch.nn.functional.conv1d(x, w, b, stride, padding=0, dilation, groups).
+
+    x: (B, C_in, T); weight (C_out, C_in/groups, K); returns (B, C_out, T').
+    """
+    w = conv_weight(p)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(0, 0)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        precision=precision,
+    )
+    if p.get("b") is not None:
+        y = y + p["b"][None, :, None]
+    return y
+
+
+def conv_transpose1d(
+    x: jax.Array,
+    p: dict,
+    *,
+    stride: int,
+    precision=DEFAULT_PRECISION,
+) -> jax.Array:
+    """torch.nn.functional.conv_transpose1d with padding=0.
+
+    x: (B, C_in, T); weight (C_in, C_out, K) [torch IOK layout];
+    output length (T-1)*stride + K.
+
+    Implemented as an input-dilated correlation with the flipped,
+    in/out-transposed kernel — a single XLA conv that maps onto the MXU.
+    """
+    w = conv_weight(p)  # (C_in, C_out, K)
+    k = w.shape[-1]
+    w_flip = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # -> (C_out, C_in, K)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w_flip,
+        window_strides=(1,),
+        padding=[(k - 1, k - 1)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=precision,
+    )
+    if p.get("b") is not None:
+        y = y + p["b"][None, :, None]
+    return y
+
+
+def init_conv_params(
+    key: jax.Array,
+    out_ch: int,
+    in_ch: int,
+    kernel: int,
+    *,
+    transpose: bool = False,
+    weight_norm: bool = False,
+    init_std: float = 0.01,
+    dtype=jnp.float32,
+) -> dict:
+    """N(0, 0.01) conv init (reference ``utils.py:39-42`` init_weights) with
+    torch's U(-1/sqrt(fan_in·k), ·) bias init."""
+    import numpy as np
+
+    kw, kb = jax.random.split(key)
+    shape = (in_ch, out_ch, kernel) if transpose else (out_ch, in_ch, kernel)
+    w = init_std * jax.random.normal(kw, shape, dtype)
+    fan_in = in_ch * kernel if not transpose else in_ch * kernel
+    bound = 1.0 / np.sqrt(fan_in)
+    b = jax.random.uniform(kb, (out_ch,), dtype, -bound, bound)
+    if not weight_norm:
+        return {"w": w, "b": b}
+    axes = tuple(range(1, w.ndim))
+    g = jnp.sqrt(jnp.sum(w * w, axis=axes, keepdims=True))
+    return {"g": g, "v": w, "b": b}

@@ -1,0 +1,10 @@
+"""Device-mesh parallelism utilities (jax.sharding / pjit)."""
+
+from bvsc_tpu.parallel.mesh import (
+    make_mesh,
+    replicated,
+    batch_sharded,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "replicated", "batch_sharded", "shard_batch"]

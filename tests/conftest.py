@@ -7,8 +7,10 @@ is exercised by ``bench.py`` / ``__graft_entry__.py`` instead.
 
 import os
 
-# Must be set before jax is imported anywhere.
+# Must be set before jax is imported anywhere.  NOTE: with the axon TPU
+# plugin JAX_PLATFORMS alone is not honored; JAX_PLATFORM_NAME is.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,150 @@
+"""End-to-end codec API tests: full-chain parity vs composed reference torch
+modules, plus API/bucketing properties."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+
+from bvsc_tpu.codec import SCALING, BVRNNCodecModel
+from bvsc_tpu.config import CodecConfig, VocoderConfig
+from bvsc_tpu.convert import bvrnn_params_from_torch, vocoder_params_from_torch
+from test_vocoder import build_ref_generator, tiny_cfg
+from torch_ref import import_reference_bvrnn
+
+
+def small_conf() -> CodecConfig:
+    return CodecConfig(
+        num_mels=8,
+        h_dim=32,
+        z_dim=12,
+        fs=22050,
+        winsize=1024,
+        hopsize=256,
+        fmax=8000.0,
+        mel_pad_left=256,
+        var_bit=True,
+        vocoder_config=tiny_cfg(num_mels=8, upsample_rates=(32, 8),
+                                upsample_kernel_sizes=(64, 16),
+                                layers_sym=(False, False),
+                                layers_antialias=(False, False)),
+    )
+
+
+@pytest.fixture(scope="module")
+def small_codec_and_refs():
+    conf = small_conf()
+    ref_bvrnn_mod = import_reference_bvrnn()
+    torch.manual_seed(0)
+    mean_std = [np.zeros(conf.num_mels), np.ones(conf.num_mels)]
+    ref_bvrnn = ref_bvrnn_mod.BVRNN(
+        conf.num_mels, conf.h_dim, conf.z_dim, mean_std, -1.0, True
+    )
+    ref_bvrnn.eval()
+    ref_gen = build_ref_generator(conf.vocoder_config, seed=1)
+
+    codec = BVRNNCodecModel(
+        config=conf,
+        bvrnn_params=bvrnn_params_from_torch(ref_bvrnn.state_dict()),
+        vocoder_params=vocoder_params_from_torch(
+            ref_gen.state_dict(), conf.vocoder_config
+        ),
+        length_bucket=16,
+    )
+    return codec, ref_bvrnn, ref_gen, conf
+
+
+def reference_full_chain(ref_bvrnn, ref_gen, conf, x, bitrate):
+    """Reference codec flow (bvrnn_codec_model.py:44-76) composed from the
+    reference torch modules + our torch-parity mel (tested in test_mel)."""
+    from test_mel import torch_reference_logmel
+
+    # torch_reference_logmel is hard-wired to 80 mels via the filterbank size;
+    # rebuild inline for the small config
+    from bvsc_tpu.ops.mel import slaney_mel_filterbank
+
+    y = torch.from_numpy(x * SCALING).float()
+    pl = conf.mel_pad_left
+    pr = conf.winsize - pl - conf.hopsize
+    y = torch.nn.functional.pad(y.unsqueeze(1), (pl, pr), mode="reflect").squeeze(1)
+    stft = torch.stft(
+        y, conf.winsize, hop_length=conf.hopsize, win_length=conf.winsize,
+        window=torch.hann_window(conf.winsize), center=False, onesided=True,
+        return_complex=True,
+    )
+    spec = torch.view_as_real(stft)
+    spec = torch.sqrt(spec.pow(2).sum(-1) + 1e-9)
+    fb = torch.from_numpy(
+        slaney_mel_filterbank(conf.fs, conf.winsize, conf.num_mels, conf.fmin, conf.fmax)
+    )
+    mel = torch.log(torch.clamp(fb @ spec, min=1e-5)).permute(0, 2, 1)
+
+    bits = np.round(bitrate * conf.hopsize / conf.fs) * torch.ones(mel.shape[:2])
+    h = torch.zeros(1, mel.shape[0], conf.h_dim)
+    with torch.no_grad():
+        codes, _ = ref_bvrnn.encode(mel, bits, h)
+        mel_hat, _ = ref_bvrnn.decode(codes, torch.zeros(1, mel.shape[0], conf.h_dim))
+        wav = ref_gen(mel_hat.permute(0, 2, 1), x.shape[1]).squeeze(1) / SCALING
+    return codes.numpy(), wav.numpy()
+
+
+def test_full_chain_parity(small_codec_and_refs, rng):
+    codec, ref_bvrnn, ref_gen, conf = small_codec_and_refs
+    L = 22050  # 1 s
+    x = (rng.standard_normal((2, L)) * 0.3).astype(np.float32)
+    codes_ref, wav_ref = reference_full_chain(ref_bvrnn, ref_gen, conf, x, 3000)
+
+    codes = np.asarray(codec.encode(x, 3000))
+    np.testing.assert_array_equal(codes, codes_ref)
+
+    wav = np.asarray(codec.decode(codes, L))
+    assert wav.shape == wav_ref.shape == (2, L)
+    # tiny f32 mel-decode differences get amplified through the deep vocoder
+    # conv stack; require high SNR rather than elementwise exactness
+    err = wav - wav_ref
+    snr_db = 10 * np.log10((wav_ref**2).mean() / max((err**2).mean(), 1e-20))
+    assert snr_db > 40.0, f"waveform SNR vs reference too low: {snr_db:.1f} dB"
+    np.testing.assert_allclose(wav, wav_ref, atol=5e-2)
+
+
+def test_call_equals_two_step(small_codec_and_refs, rng):
+    codec, *_ = small_codec_and_refs
+    x = (rng.standard_normal((1, 10000)) * 0.2).astype(np.float32)
+    one = np.asarray(codec(x, 2000))
+    two = np.asarray(codec.decode(codec.encode(x, 2000), 10000))
+    np.testing.assert_array_equal(one, two)
+
+
+def test_non_hop_multiple_lengths(small_codec_and_refs, rng):
+    codec, *_ = small_codec_and_refs
+    for L in (5000, 4099, 22050 + 7):
+        x = (rng.standard_normal((1, L)) * 0.2).astype(np.float32)
+        y = np.asarray(codec(x, 3000))
+        assert y.shape == (1, L)
+        assert np.isfinite(y).all()
+
+
+def test_bitrate_rounding(small_codec_and_refs):
+    codec, *_ = small_codec_and_refs
+    # reference: round(bitrate * hop / fs) (bvrnn_codec_model.py:58-59)
+    assert codec.bits_per_frame(3000) == np.round(3000 * 256 / 22050)
+    assert codec.bits_per_frame(1000) == 12.0
+
+
+def test_bucketing_reuses_compilation(small_codec_and_refs, rng):
+    codec, *_ = small_codec_and_refs
+    # two nearby lengths land in the same bucket -> same padded shapes
+    assert codec._pad_length(5000) == codec._pad_length(5001)
+    x1 = (rng.standard_normal((1, 5000)) * 0.1).astype(np.float32)
+    x2 = (rng.standard_normal((1, 5001)) * 0.1).astype(np.float32)
+    assert np.asarray(codec(x1, 3000)).shape == (1, 5000)
+    assert np.asarray(codec(x2, 3000)).shape == (1, 5001)
+
+
+def test_default_config_loads():
+    codec = BVRNNCodecModel  # class import sanity
+    conf = CodecConfig.from_toml("configs/varbitrate.toml")
+    assert conf.h_dim == 1024 and conf.z_dim == 64 and conf.var_bit
+    assert conf.vocoder_config.upsample_rates == (8, 8, 2, 2)
+    conf64 = CodecConfig.from_toml("configs/fixed64.toml")
+    assert not conf64.var_bit
