@@ -1,0 +1,290 @@
+"""Streaming runtime: chunked encode/decode at the 34.8 ms algorithmic latency.
+
+The reference is causal end-to-end (512-sample STFT lookahead + 256-sample
+hop = 34.8 ms, reference ``README.md:19``) and its BVRNN already exposes the
+carried hidden state (``bvrnn.py:163-171,209,229``), but it ships no
+streaming driver.  This module provides one, built from explicit state
+pytrees so every step is a fixed-shape jitted XLA program:
+
+  * streaming mel: rolling 1024-sample window, one frame per 256-sample hop
+    (reflect pre-roll at stream start; flush() reflects the tail like the
+    one-shot right padding),
+  * streaming BVRNN: ``encode_with_state`` / ``decode`` with carried h,
+  * streaming vocoder: per-conv left-context buffers + transposed-conv
+    overlap-add carries, emitting exactly hop x frames finalized samples per
+    frame — bit-identical to the one-shot generator output prefix.
+
+Chunked output == one-shot output exactly (tested), which is the property
+that makes the codec deployable as a real-time packet codec.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bvsc_tpu.codec import SCALING
+from bvsc_tpu.config import CodecConfig, VocoderConfig
+from bvsc_tpu.models import bvrnn as bvrnn_mod
+from bvsc_tpu.models import vocoder as voc_mod
+from bvsc_tpu.ops.conv import conv1d, conv_transpose1d, conv_weight
+from bvsc_tpu.ops.mel import MelFrontend, stft_magnitude, dynamic_range_compression
+from bvsc_tpu.ops.snake import apply_activation
+
+# ---------------------------------------------------------------------------
+# Streaming vocoder: state init + step
+# ---------------------------------------------------------------------------
+
+
+def _conv_state(batch: int, ch: int, k: int, dilation: int, dtype) -> jax.Array:
+    """Left-context buffer of (k-1)*dilation zeros (== one-shot zero pads)."""
+    return jnp.zeros((batch, ch, (k - 1) * dilation), dtype)
+
+
+def _stream_conv(state: jax.Array, x: jax.Array, p: dict, dilation: int = 1):
+    """Causal conv step: consume (B, C, T), emit (B, C', T), carry context."""
+    ctx = jnp.concatenate([state, x], axis=-1)
+    y = conv1d(ctx, p, dilation=dilation)
+    klen = state.shape[-1]
+    new_state = ctx[..., ctx.shape[-1] - klen :] if klen else state
+    return new_state, y
+
+
+def _stream_conv_transpose(state: jax.Array, x: jax.Array, p: dict, stride: int):
+    """Transposed-conv step with overlap-add carry.
+
+    Emits exactly stride*T finalized samples; the (k - stride)-sample tail
+    (which future inputs still add into) is carried.  Bias is added only to
+    emitted samples to avoid double counting in the overlap region.
+    """
+    bias = p.get("b")
+    p_nobias = {k: v for k, v in p.items() if k != "b"}
+    y = conv_transpose1d(x, p_nobias, stride=stride)  # (B, C', (T-1)s + k)
+    k = conv_weight(p).shape[-1]
+    overlap = k - stride
+    if overlap:
+        y = y.at[..., :overlap].add(state)
+    emit_len = stride * x.shape[-1]
+    emit = y[..., :emit_len]
+    new_state = y[..., emit_len : emit_len + overlap]
+    if bias is not None:
+        emit = emit + bias[None, :, None]
+    return new_state, emit
+
+
+def generator_stream_init(
+    cfg: VocoderConfig, batch: int, dtype=jnp.float32
+) -> dict:
+    """Zero state pytree for the streaming generator (causal configs only)."""
+    if any(cfg.layers_sym) or cfg.pre_sym or cfg.post_sym:
+        raise ValueError("streaming requires a fully causal vocoder config")
+    if any(cfg.layers_antialias) or cfg.antialias_post:
+        raise ValueError("streaming is incompatible with anti-aliased activations")
+    C0 = cfg.upsample_initial_channel
+    state: dict = {
+        "conv_pre": _conv_state(batch, cfg.num_mels, 7, 1, dtype),
+        "ups": [],
+        "resblocks": [],
+    }
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        in_ch = C0 // (2**i)
+        out_ch = C0 // (2 ** (i + 1))
+        state["ups"].append(jnp.zeros((batch, out_ch, k - u), dtype))
+        for ksz, dils in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            state["resblocks"].append(
+                {
+                    "convs1": [_conv_state(batch, out_ch, ksz, d, dtype) for d in dils],
+                    "convs2": [_conv_state(batch, out_ch, ksz, 1, dtype) for _ in dils],
+                }
+            )
+    ch = C0 // (2 ** len(cfg.upsample_rates))
+    state["conv_post"] = _conv_state(batch, ch, 7, 1, dtype)
+    return state
+
+
+def generator_stream_step(
+    params: dict, cfg: VocoderConfig, state: dict, mel: jax.Array
+) -> tuple[dict, jax.Array]:
+    """Consume (B, num_mels, T) mel frames, emit (B, 1, T*prod(upsample))
+    finalized waveform samples (one-shot prefix equality)."""
+    num_k = len(cfg.resblock_kernel_sizes)
+    new_state = {"ups": [], "resblocks": []}
+
+    new_state["conv_pre"], x = _stream_conv(state["conv_pre"], mel, params["conv_pre"])
+
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        st, x = _stream_conv_transpose(state["ups"][i], x, params["ups"][i], stride=u)
+        new_state["ups"].append(st)
+        xs = None
+        for j, (ksz, dils) in enumerate(
+            zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+        ):
+            ridx = i * num_k + j
+            rstate = state["resblocks"][ridx]
+            rparams = params["resblocks"][ridx]
+            new_rstate = {"convs1": [], "convs2": []}
+            xb = x
+            for jj, d in enumerate(dils):
+                xt = apply_activation(
+                    xb, rparams["acts"][2 * jj], kind=cfg.activation,
+                    logscale=cfg.snake_logscale,
+                )
+                st1, xt = _stream_conv(
+                    rstate["convs1"][jj], xt, rparams["convs1"][jj], dilation=d
+                )
+                xt = apply_activation(
+                    xt, rparams["acts"][2 * jj + 1], kind=cfg.activation,
+                    logscale=cfg.snake_logscale,
+                )
+                st2, xt = _stream_conv(rstate["convs2"][jj], xt, rparams["convs2"][jj])
+                new_rstate["convs1"].append(st1)
+                new_rstate["convs2"].append(st2)
+                xb = xt + xb
+            new_state["resblocks"].append(new_rstate)
+            xs = xb if xs is None else xs + xb
+        x = xs / num_k
+
+    x = apply_activation(
+        x, params["act_post"], kind=cfg.activation, logscale=cfg.snake_logscale
+    )
+    new_state["conv_post"], x = _stream_conv(state["conv_post"], x, params["conv_post"])
+    return new_state, jnp.tanh(x)
+
+
+# ---------------------------------------------------------------------------
+# Streaming codec driver
+# ---------------------------------------------------------------------------
+
+
+class StreamingEncoder:
+    """Samples in -> binary codes out, one code vector per 256-sample hop.
+
+    First code is emitted after ``winsize - pad_left = 768`` samples
+    (= 512-sample lookahead + one hop = 34.8 ms at 22.05 kHz).
+    """
+
+    def __init__(self, codec, batch: int = 1, bitrate: float = 3000.0):
+        self.codec = codec
+        conf: CodecConfig = codec.conf
+        self.hop = conf.hopsize
+        self.win = conf.winsize
+        self.pad_left = conf.mel_pad_left
+        self.pad_right = conf.winsize - conf.mel_pad_left - conf.hopsize
+        self.bits = codec.bits_per_frame(bitrate)
+        self.batch = batch
+        self.h = jnp.zeros((batch, conf.h_dim), codec.bvrnn_cfg.dtype)
+        # host-side raw sample queue holding the padded stream tail
+        self._buf = np.zeros((batch, 0), np.float32)
+        self._started = False
+        self._flushed = False
+
+        frontend: MelFrontend = codec.frontend
+
+        @functools.partial(jax.jit, static_argnames=("n_frames",))
+        def mel_frames(segment: jax.Array, n_frames: int) -> jax.Array:
+            """(B, (n_frames-1)*hop + win) padded samples -> (B, n, M) log-mel."""
+            mag = stft_magnitude(
+                segment * SCALING, frontend.n_fft, frontend.hop_size,
+                frontend.window, use_matmul_dft=frontend.use_matmul_dft,
+                dft_bases=frontend._dft,
+            )
+            mel = jnp.matmul(frontend.mel_basis, mag,
+                             precision=jax.lax.Precision.HIGHEST)
+            return jnp.swapaxes(dynamic_range_compression(mel), 1, 2)
+
+        def encode_frames(params, mel, h, bits):
+            B, T, _ = mel.shape
+            return bvrnn_mod.encode_with_state(
+                params, codec.bvrnn_cfg, mel, jnp.full((B, T), bits), h
+            )
+
+        self._mel_frames = mel_frames
+        self._encode = jax.jit(encode_frames)
+
+    def feed(self, samples: np.ndarray) -> np.ndarray:
+        """Push (batch, n) samples; returns (batch, n_new_frames, z_dim) codes
+        (possibly zero frames)."""
+        assert not self._flushed, "stream already flushed"
+        samples = np.asarray(samples, np.float32).reshape(self.batch, -1)
+        if not self._started:
+            if self._buf.shape[1] + samples.shape[1] < self.pad_left + 1:
+                self._buf = np.concatenate([self._buf, samples], axis=1)
+                return np.zeros((self.batch, 0, self.codec.conf.z_dim), np.float32)
+            x = np.concatenate([self._buf, samples], axis=1)
+            # reflect pre-roll, identical to one-shot left padding
+            pre = x[:, 1 : self.pad_left + 1][:, ::-1]
+            self._buf = np.concatenate([pre, x], axis=1)
+            self._started = True
+        else:
+            self._buf = np.concatenate([self._buf, samples], axis=1)
+        return self._drain()
+
+    def flush(self) -> np.ndarray:
+        """Reflect-pad the tail (one-shot right padding) and emit the rest."""
+        assert self._started and not self._flushed
+        self._flushed = True
+        tail = self._buf[:, -self.pad_right - 1 : -1][:, ::-1]
+        self._buf = np.concatenate([self._buf, tail], axis=1)
+        return self._drain()
+
+    def _drain(self) -> np.ndarray:
+        n = (self._buf.shape[1] - self.win) // self.hop + 1
+        if n <= 0:
+            return np.zeros((self.batch, 0, self.codec.conf.z_dim), np.float32)
+        seg_len = (n - 1) * self.hop + self.win
+        seg = self._buf[:, :seg_len]
+        self._buf = self._buf[:, n * self.hop :]
+        mel = self._mel_frames(jnp.asarray(seg), n_frames=n)
+        codes, self.h = self._encode(self.codec.bvrnn_params, mel, self.h, self.bits)
+        return np.asarray(codes)
+
+
+class StreamingDecoder:
+    """Binary codes in -> waveform out, 256 samples per code frame."""
+
+    def __init__(self, codec, batch: int = 1):
+        self.codec = codec
+        conf: CodecConfig = codec.conf
+        self.batch = batch
+        self.h = jnp.zeros((batch, conf.h_dim), codec.bvrnn_cfg.dtype)
+        self.voc_state = generator_stream_init(
+            conf.vocoder_config, batch, codec.bvrnn_cfg.dtype
+        )
+
+        def decode_frames(params, voc_params, codes, h, voc_state):
+            mel, h = bvrnn_mod.decode(params, codec.bvrnn_cfg, codes, h)
+            voc_state, wav = generator_stream_step(
+                voc_params, conf.vocoder_config, voc_state, jnp.swapaxes(mel, 1, 2)
+            )
+            return wav[:, 0, :] / SCALING, h, voc_state
+
+        self._decode = jax.jit(decode_frames)
+
+    def feed(self, codes: np.ndarray) -> np.ndarray:
+        """Push (batch, n, z_dim) code frames; returns (batch, n*hop) samples."""
+        codes = jnp.asarray(np.asarray(codes, np.float32))
+        if codes.shape[1] == 0:
+            return np.zeros((self.batch, 0), np.float32)
+        wav, self.h, self.voc_state = self._decode(
+            self.codec.bvrnn_params, self.codec.vocoder_params, codes,
+            self.h, self.voc_state,
+        )
+        return np.asarray(wav)
+
+
+class StreamingCodec:
+    """Full-duplex convenience wrapper: samples -> codes -> samples."""
+
+    def __init__(self, codec, batch: int = 1, bitrate: float = 3000.0):
+        self.encoder = StreamingEncoder(codec, batch, bitrate)
+        self.decoder = StreamingDecoder(codec, batch)
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        return self.decoder.feed(self.encoder.feed(samples))
+
+    def flush(self) -> np.ndarray:
+        return self.decoder.feed(self.encoder.flush())
