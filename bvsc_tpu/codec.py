@@ -202,7 +202,12 @@ def _load_bvrnn_checkpoint(path: str, dtype):
     if os.path.isdir(path):  # Orbax directory
         from bvsc_tpu.train.checkpoint import restore_pytree
 
-        return restore_pytree(path)
+        tree = restore_pytree(path)
+        if isinstance(tree, dict) and "vrnn" in tree:
+            return tree["vrnn"]
+        if isinstance(tree, dict) and "params" in tree:  # TrainState save
+            return tree["params"]
+        return tree
     ckpt = load_torch_checkpoint(path)
     sd = ckpt.get("vrnn", ckpt)  # reference schema {'vrnn': state_dict}
     return bvrnn_params_from_torch(sd, dtype=dtype)
@@ -214,7 +219,10 @@ def _load_vocoder_checkpoint(path: str, vcfg, dtype):
     if os.path.isdir(path):
         from bvsc_tpu.train.checkpoint import restore_pytree
 
-        return restore_pytree(path)
+        tree = restore_pytree(path)
+        if isinstance(tree, dict) and "generator" in tree:
+            return tree["generator"]
+        return tree
     ckpt = load_torch_checkpoint(path)
     sd = ckpt.get("generator", ckpt)  # reference schema (train.py:326-337)
     return vocoder_params_from_torch(sd, vcfg)

@@ -173,6 +173,54 @@ def vocoder_params_from_torch(sd: Mapping[str, Any], cfg, dtype=np.float32) -> d
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
 
 
+def _wn_conv_unfolded(sd: Mapping[str, Any], prefix: str) -> dict:
+    """Weight-normed conv kept as {'g','v','b'} (training parameterisation)."""
+    if f"{prefix}.weight_g" in sd:
+        g, v = _np(sd[f"{prefix}.weight_g"]), _np(sd[f"{prefix}.weight_v"])
+    elif f"{prefix}.parametrizations.weight.original0" in sd:
+        g = _np(sd[f"{prefix}.parametrizations.weight.original0"])
+        v = _np(sd[f"{prefix}.parametrizations.weight.original1"])
+    else:
+        raise KeyError(f"no weight-norm params under {prefix}")
+    return {"g": g.copy(), "v": v.copy(), "b": _np(sd[f"{prefix}.bias"]).copy()}
+
+
+def mpd_params_from_torch(sd: Mapping[str, Any], cfg, dtype=np.float32) -> list:
+    """Reference MultiPeriodDiscriminator state_dict (models.py:294-316) ->
+    bvsc_tpu.models.discriminators MPD param list (weight norm kept)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = []
+    for i in range(len(cfg.mpd_reshapes)):
+        pre = f"discriminators.{i}"
+        out.append(
+            {
+                "convs": [_wn_conv_unfolded(sd, f"{pre}.convs.{j}") for j in range(5)],
+                "conv_post": _wn_conv_unfolded(sd, f"{pre}.conv_post"),
+            }
+        )
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), out)
+
+
+def mrd_params_from_torch(sd: Mapping[str, Any], cfg, dtype=np.float32) -> list:
+    """Reference MultiResolutionDiscriminator state_dict (models.py:382-408)
+    -> MRD param list."""
+    import jax
+    import jax.numpy as jnp
+
+    out = []
+    for i in range(len(cfg.resolutions)):
+        pre = f"discriminators.{i}"
+        out.append(
+            {
+                "convs": [_wn_conv_unfolded(sd, f"{pre}.convs.{j}") for j in range(5)],
+                "conv_post": _wn_conv_unfolded(sd, f"{pre}.conv_post"),
+            }
+        )
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), out)
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a torch checkpoint file into numpy-valued nested dicts
     (requires torch; reference uses ``torch.load(..., weights_only=True)``,

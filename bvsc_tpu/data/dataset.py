@@ -1,0 +1,162 @@
+"""Filelist-driven audio segment dataset for the trainers.
+
+Host-side numpy re-creation of the reference ``MelDataset``
+(``third_party/BigVGAN/meldataset.py:120-223``) with a TPU-first twist: the
+dataset yields raw audio segments and the *trainers compute mels on-device
+inside the jitted step* (fused with the model, no host mel cost).  The
+fine-tuning mode (training the vocoder on BVRNN-decoded mels, reference
+``meldataset.py:197-214``) instead loads precomputed ``.npy`` mels and yields
+them alongside the audio.
+
+No torch DataLoader: a seeded numpy sampler + per-host sharding replaces
+``DistributedSampler`` (reference ``train.py:108``); each host reads only its
+shard of the filelist.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+from typing import Iterator
+
+import numpy as np
+
+from bvsc_tpu.data.audio import load_wav, peak_normalize
+
+
+def get_dataset_filelist(
+    input_training_file: str,
+    input_validation_file: str,
+    input_wavs_dir: str,
+    list_input_unseen_validation_file=(),
+    list_input_unseen_wavs_dir=(),
+):
+    """Pipe-separated filelists -> wav paths (reference ``meldataset.py:98-117``)."""
+
+    def read_list(path, wavs_dir):
+        with open(path, encoding="utf-8") as fi:
+            return [
+                os.path.join(wavs_dir, x.split("|")[0] + ".wav")
+                for x in fi.read().split("\n")
+                if len(x) > 0
+            ]
+
+    training_files = read_list(input_training_file, input_wavs_dir)
+    validation_files = read_list(input_validation_file, input_wavs_dir)
+    unseen = [
+        read_list(f, d)
+        for f, d in zip(list_input_unseen_validation_file, list_input_unseen_wavs_dir)
+    ]
+    return training_files, validation_files, unseen
+
+
+class AudioSegmentDataset:
+    """Random fixed-length segments for GAN/VAE training.
+
+    split=True: random ``segment_size`` crops (zero-padded if short).
+    split=False: full files trimmed to a hop multiple (validation mode).
+    """
+
+    def __init__(
+        self,
+        audio_files: list[str],
+        segment_size: int,
+        sampling_rate: int,
+        hop_size: int,
+        *,
+        split: bool = True,
+        shuffle: bool = True,
+        seed: int = 1234,
+        normalize: bool = True,
+        fine_tuning: bool = False,
+        base_mels_path: str | None = None,
+        check_integrity: bool = True,
+    ):
+        self.audio_files = list(audio_files)
+        rng = random.Random(seed)
+        if shuffle:
+            rng.shuffle(self.audio_files)
+        self.segment_size = segment_size
+        self.sampling_rate = sampling_rate
+        self.hop_size = hop_size
+        self.split = split
+        self.normalize = normalize
+        self.fine_tuning = fine_tuning
+        self.base_mels_path = base_mels_path
+        self._rng = np.random.default_rng(seed)
+        if check_integrity:  # reference meldataset.py:152-154
+            for f in self.audio_files:
+                assert os.path.exists(f), f"{f} not found"
+
+    def __len__(self):
+        return len(self.audio_files)
+
+    def _load(self, filename: str) -> np.ndarray:
+        audio, sr = load_wav(filename, self.sampling_rate)
+        if audio.ndim > 1:
+            audio = audio[:, 0]
+        if self.normalize and not self.fine_tuning:
+            audio = peak_normalize(audio) * 0.95  # reference meldataset.py:163
+        return audio.astype(np.float32)
+
+    def __getitem__(self, index: int):
+        filename = self.audio_files[index]
+        audio = self._load(filename)
+
+        if self.fine_tuning:
+            mel_path = os.path.join(
+                self.base_mels_path,
+                os.path.splitext(os.path.split(filename)[-1])[0] + ".npy",
+            )
+            mel = np.load(mel_path)
+            if mel.ndim == 3:
+                mel = mel[0]
+            # mel: (num_mels, frames)
+            if self.split:
+                frames_per_seg = math.ceil(self.segment_size / self.hop_size)
+                if audio.shape[0] >= self.segment_size:
+                    start = int(self._rng.integers(0, mel.shape[1] - frames_per_seg))
+                    mel = mel[:, start : start + frames_per_seg]
+                    audio = audio[
+                        start * self.hop_size : (start + frames_per_seg) * self.hop_size
+                    ]
+                else:
+                    mel = np.pad(mel, ((0, 0), (0, frames_per_seg - mel.shape[1])))
+                    audio = np.pad(audio, (0, self.segment_size - audio.shape[0]))
+            return audio, mel, filename
+
+        if self.split:
+            if audio.shape[0] >= self.segment_size:
+                start = int(self._rng.integers(0, audio.shape[0] - self.segment_size + 1))
+                audio = audio[start : start + self.segment_size]
+            else:
+                audio = np.pad(audio, (0, self.segment_size - audio.shape[0]))
+        else:
+            if audio.shape[0] % self.hop_size:
+                audio = audio[: -(audio.shape[0] % self.hop_size)]
+        return audio, None, filename
+
+    def batches(
+        self, batch_size: int, *, host_id: int = 0, num_hosts: int = 1,
+        drop_last: bool = True, epochs: int | None = None,
+    ) -> Iterator[np.ndarray]:
+        """Infinite (or ``epochs``-bounded) shuffled batch iterator over this
+        host's shard — the DistributedSampler replacement."""
+        files = self.audio_files[host_id::num_hosts]
+        idx_of = {f: i for i, f in enumerate(self.audio_files)}
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = self._rng.permutation(len(files))
+            for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
+                chunk = order[i : i + batch_size]
+                if drop_last and len(chunk) < batch_size:
+                    break
+                items = [self[idx_of[files[j]]] for j in chunk]
+                audio = np.stack([it[0] for it in items])
+                if self.fine_tuning:
+                    mel = np.stack([it[1] for it in items])
+                    yield audio, mel
+                else:
+                    yield audio, None
+            epoch += 1

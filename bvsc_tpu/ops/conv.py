@@ -104,6 +104,56 @@ def conv_transpose1d(
     return y
 
 
+def conv2d(
+    x: jax.Array,
+    p: dict,
+    *,
+    stride: tuple[int, int] = (1, 1),
+    padding: tuple[int, int] = (0, 0),
+    precision=DEFAULT_PRECISION,
+) -> jax.Array:
+    """torch.nn.functional.conv2d with symmetric (ph, pw) zero padding.
+
+    x: (B, C_in, H, W); weight (C_out, C_in, KH, KW).
+    """
+    w = conv_weight(p)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=precision,
+    )
+    if p.get("b") is not None:
+        y = y + p["b"][None, :, None, None]
+    return y
+
+
+def init_conv2d_params(
+    key: jax.Array,
+    out_ch: int,
+    in_ch: int,
+    kernel: tuple[int, int],
+    *,
+    weight_norm: bool = False,
+    dtype=jnp.float32,
+) -> dict:
+    """torch Conv2d default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    import numpy as np
+
+    kw, kb = jax.random.split(key)
+    fan_in = in_ch * kernel[0] * kernel[1]
+    bound = 1.0 / np.sqrt(fan_in)
+    w = jax.random.uniform(kw, (out_ch, in_ch, *kernel), dtype, -bound, bound)
+    b = jax.random.uniform(kb, (out_ch,), dtype, -bound, bound)
+    if not weight_norm:
+        return {"w": w, "b": b}
+    axes = tuple(range(1, w.ndim))
+    g = jnp.sqrt(jnp.sum(w * w, axis=axes, keepdims=True))
+    return {"g": g, "v": w, "b": b}
+
+
 def init_conv_params(
     key: jax.Array,
     out_ch: int,

@@ -1,0 +1,276 @@
+"""Vocoder GAN trainer — TPU-native re-creation of the reference training
+loop (``third_party/BigVGAN/train.py:34-445``).
+
+Per step (reference ``train.py:253-314``):
+  * G forward (weight-normed params) on input mels,
+  * D step: LSGAN loss on MPD + MRD over (y, stop_grad(y_hat)), grad-clip
+    1000, AdamW — skipped for the first ``freeze_step`` steps,
+  * G step: 45 x L1 mel + feature-matching + adversarial (mel-only while D
+    is frozen), grad-clip 1000, AdamW,
+  * both optimizers AdamW(lr, betas=(adam_b1, adam_b2)) with per-epoch
+    ExponentialLR decay (``train.py:87-96,372-373``).
+
+TPU-first differences: the whole step (G fwd, mel of y_hat, both D passes,
+both optimizer updates) is ONE jitted XLA program; mels are computed
+on-device; data parallelism is a sharded batch over a Mesh (XLA psum
+replaces DDP all-reduce).  The mel used for the input/loss is our causal
+frontend — the reference's training-time mel calls are stale against its
+own causal frontend signature (missing ``padding_left``, SURVEY §2.12), so
+exact loss-mel parity with upstream is unattainable by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bvsc_tpu.config import VocoderConfig
+from bvsc_tpu.models import vocoder as voc_mod
+from bvsc_tpu.models.discriminators import init_mpd_params, init_mrd_params, mpd_apply, mrd_apply
+from bvsc_tpu.models.losses import discriminator_loss, feature_loss, generator_loss
+from bvsc_tpu.ops.mel import MelFrontend
+from bvsc_tpu.parallel.mesh import batch_sharded, make_mesh, replicated
+
+
+@dataclasses.dataclass(frozen=True)
+class GANTrainConfig:
+    """Hyperparameters of the reference vocoder trainer
+    (``bigvgan_base_22khz_80band.json`` + ``train.py`` argparse defaults)."""
+
+    learning_rate: float = 1e-4
+    adam_b1: float = 0.8
+    adam_b2: float = 0.99
+    lr_decay: float = 0.999  # per epoch (train.py:95-96,372-373)
+    grad_clip: float = 1000.0  # train.py:282,313
+    mel_loss_weight: float = 45.0  # train.py:294
+    freeze_step: int = 0  # train.py:403
+    segment_size: int = 8192
+    batch_size: int = 32
+    sampling_rate: int = 22050
+    n_fft: int = 1024
+    hop_size: int = 256
+    win_size: int = 1024
+    fmin: float = 0.0
+    fmax: float = 8000.0
+    fmax_for_loss: float | None = None  # full band (json: fmax_for_loss null)
+    mel_pad_left: int = 256
+
+
+@dataclasses.dataclass
+class GANTrainState:
+    gen: Any
+    mpd: Any
+    mrd: Any
+    opt_g: Any
+    opt_d: Any
+    step: jax.Array
+
+    def tree_flatten(self):
+        return (self.gen, self.mpd, self.mrd, self.opt_g, self.opt_d, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    GANTrainState, GANTrainState.tree_flatten, GANTrainState.tree_unflatten
+)
+
+
+def make_gan_train_step(tcfg: GANTrainConfig, vcfg: VocoderConfig, opt_g, opt_d):
+    """Build (d_step, g_step) jitted-separately step functions.
+
+    ``mel_in`` is the generator input (equal to mel(y) except in fine-tuning,
+    where it is a BVRNN-decoded mel); ``y_mel_target`` is the loss-band mel
+    of the ground truth.  D and G are two XLA programs (like the reference's
+    two optimizer steps) — one fused program compiles 2x slower and can OOM
+    the AOT compile helper."""
+
+    loss_frontend = MelFrontend(
+        sampling_rate=tcfg.sampling_rate, n_fft=tcfg.n_fft, hop_size=tcfg.hop_size,
+        win_size=tcfg.win_size, fmin=tcfg.fmin,
+        fmax=tcfg.fmax_for_loss if tcfg.fmax_for_loss is not None
+        else tcfg.sampling_rate / 2,
+        padding_left=tcfg.mel_pad_left, num_mels=vcfg.num_mels,
+    )
+
+    def d_loss_fn(d_params, y, y_hat):
+        y_df_r, y_df_g, _, _ = mpd_apply(d_params["mpd"], vcfg, y, y_hat)
+        loss_f, _, _ = discriminator_loss(y_df_r, y_df_g)
+        y_ds_r, y_ds_g, _, _ = mrd_apply(d_params["mrd"], vcfg, y, y_hat)
+        loss_s, _, _ = discriminator_loss(y_ds_r, y_ds_g)
+        return loss_f + loss_s, {"disc_loss_mpd": loss_f, "disc_loss_mrd": loss_s}
+
+    def g_loss_fn(gen_params, d_params, mel_in, y, y_mel, frozen):
+        y_hat = voc_mod.generator_apply(gen_params, vcfg, mel_in, y.shape[-1])
+        y_hat_mel = loss_frontend(y_hat[:, 0, :])
+        loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * tcfg.mel_loss_weight
+
+        _, y_df_g, fmap_f_r, fmap_f_g = mpd_apply(d_params["mpd"], vcfg, y, y_hat)
+        loss_fm_f = feature_loss(fmap_f_r, fmap_f_g)
+        loss_gen_f, _ = generator_loss(y_df_g)
+        _, y_ds_g, fmap_s_r, fmap_s_g = mrd_apply(d_params["mrd"], vcfg, y, y_hat)
+        loss_fm_s = feature_loss(fmap_s_r, fmap_s_g)
+        loss_gen_s, _ = generator_loss(y_ds_g)
+
+        adv = loss_gen_s + loss_gen_f + loss_fm_s + loss_fm_f
+        # while D is frozen, G trains on the regression loss only
+        # (train.py:306-310)
+        loss = jnp.where(frozen, loss_mel, loss_mel + adv)
+        metrics = {
+            "gen_loss_total": loss,
+            "mel_spec_error": loss_mel / tcfg.mel_loss_weight,
+            "fm_loss_mpd": loss_fm_f,
+            "gen_loss_mpd": loss_gen_f,
+            "fm_loss_mrd": loss_fm_s,
+            "gen_loss_mrd": loss_gen_s,
+        }
+        return loss, (y_hat, metrics)
+
+    def d_step(state: GANTrainState, mel_in, y):
+        """Update the discriminators on (y, stop_grad(y_hat)); skipped while
+        frozen (reference train.py:267-288)."""
+        frozen = state.step < tcfg.freeze_step
+        y_hat_sg = jax.lax.stop_gradient(
+            voc_mod.generator_apply(state.gen, vcfg, mel_in, y.shape[-1])
+        )
+        d_params = {"mpd": state.mpd, "mrd": state.mrd}
+        (d_loss, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            d_params, y, y_hat_sg
+        )
+
+        def apply_d(_):
+            updates, opt_state = opt_d.update(d_grads, state.opt_d, d_params)
+            return optax.apply_updates(d_params, updates), opt_state
+
+        def skip_d(_):
+            return d_params, state.opt_d
+
+        new_d, new_opt_d = jax.lax.cond(frozen, skip_d, apply_d, None)
+        metrics = {**d_metrics, "grad_norm_d": optax.global_norm(d_grads)}
+        new_state = GANTrainState(
+            state.gen, new_d["mpd"], new_d["mrd"], state.opt_g, new_opt_d,
+            state.step,
+        )
+        return new_state, metrics
+
+    def g_step(state: GANTrainState, mel_in, y, y_mel):
+        """Update the generator against the (already-updated) discriminators
+        (reference train.py:290-314)."""
+        frozen = state.step < tcfg.freeze_step
+        d_params = {"mpd": state.mpd, "mrd": state.mrd}
+        (g_loss, (_, g_metrics)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.gen, d_params, mel_in, y, y_mel, frozen)
+        g_updates, new_opt_g = opt_g.update(g_grads, state.opt_g, state.gen)
+        new_gen = optax.apply_updates(state.gen, g_updates)
+        metrics = {**g_metrics, "grad_norm_g": optax.global_norm(g_grads)}
+        new_state = GANTrainState(
+            new_gen, state.mpd, state.mrd, new_opt_g, state.opt_d,
+            state.step + 1,
+        )
+        return new_state, metrics
+
+    return d_step, g_step
+
+
+def _make_optimizer(tcfg: GANTrainConfig):
+    """AdamW (torch default weight_decay 0.01) + clip, lr injected so the
+    per-epoch ExponentialLR schedule can be driven from the host."""
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.clip_by_global_norm(tcfg.grad_clip),
+            optax.adamw(learning_rate, b1=tcfg.adam_b1, b2=tcfg.adam_b2,
+                        weight_decay=0.01),
+        )
+    )(learning_rate=tcfg.learning_rate)
+
+
+class VocoderGANTrainer:
+    """Data-parallel GAN trainer (params replicated, batch sharded)."""
+
+    def __init__(
+        self,
+        vcfg: VocoderConfig,
+        tcfg: GANTrainConfig = GANTrainConfig(),
+        mesh=None,
+        seed: int = 0,
+        gen_params=None,
+    ):
+        self.vcfg, self.tcfg = vcfg, tcfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.epoch = 0
+        k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+        gen = gen_params if gen_params is not None else voc_mod.init_generator_params(
+            k1, vcfg, weight_norm=True
+        )
+        mpd = init_mpd_params(k2, vcfg)
+        mrd = init_mrd_params(k3, vcfg)
+        self.opt_g = _make_optimizer(tcfg)
+        self.opt_d = _make_optimizer(tcfg)
+        d_params = {"mpd": mpd, "mrd": mrd}
+        state = GANTrainState(
+            gen, mpd, mrd, self.opt_g.init(gen), self.opt_d.init(d_params),
+            jnp.zeros((), jnp.int32),
+        )
+        repl = replicated(self.mesh)
+        self.state = jax.device_put(state, repl)
+        data_sh = batch_sharded(self.mesh)
+        d_step, g_step = make_gan_train_step(tcfg, vcfg, self.opt_g, self.opt_d)
+        self._d_step = jax.jit(
+            d_step,
+            in_shardings=(repl, data_sh, data_sh),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+        self._g_step = jax.jit(
+            g_step,
+            in_shardings=(repl, data_sh, data_sh, data_sh),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+        self.input_frontend = MelFrontend(
+            sampling_rate=tcfg.sampling_rate, n_fft=tcfg.n_fft,
+            hop_size=tcfg.hop_size, win_size=tcfg.win_size, fmin=tcfg.fmin,
+            fmax=tcfg.fmax, padding_left=tcfg.mel_pad_left, num_mels=vcfg.num_mels,
+        )
+        loss_fmax = (tcfg.fmax_for_loss if tcfg.fmax_for_loss is not None
+                     else tcfg.sampling_rate / 2)
+        self.loss_frontend = MelFrontend(
+            sampling_rate=tcfg.sampling_rate, n_fft=tcfg.n_fft,
+            hop_size=tcfg.hop_size, win_size=tcfg.win_size, fmin=tcfg.fmin,
+            fmax=loss_fmax, padding_left=tcfg.mel_pad_left, num_mels=vcfg.num_mels,
+        )
+        self._mels = jax.jit(
+            lambda y: (self.input_frontend(y), self.loss_frontend(y))
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        """Per-epoch ExponentialLR (reference train.py:372-373)."""
+        self.epoch = epoch
+        lr = self.tcfg.learning_rate * (self.tcfg.lr_decay ** epoch)
+        self.state.opt_g.hyperparams["learning_rate"] = jnp.asarray(lr)
+        self.state.opt_d.hyperparams["learning_rate"] = jnp.asarray(lr)
+
+    def step_on_audio(self, y: np.ndarray, mel_in=None) -> dict:
+        """y: (B, segment) ground-truth audio.  mel_in overrides the input
+        mel for fine-tuning mode (BVRNN-decoded mels, (B, M, T))."""
+        y = jnp.asarray(y)
+        mel, mel_loss = self._mels(y)
+        T = y.shape[-1] // self.tcfg.hop_size
+        mel = mel[..., :T] if mel_in is None else jnp.asarray(mel_in)[..., :T]
+        mel_loss = mel_loss[..., :T]
+        self.state, d_metrics = self._d_step(self.state, mel, y[:, None, :])
+        self.state, g_metrics = self._g_step(self.state, mel, y[:, None, :], mel_loss)
+        return {**d_metrics, **g_metrics}
+
+    @property
+    def generator_params_folded(self):
+        """Inference-ready (weight-norm folded) generator params."""
+        return voc_mod.fold_generator_params(self.state.gen)

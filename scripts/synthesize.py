@@ -1,0 +1,93 @@
+"""Vocoder-only synthesis CLI — counterpart of the reference
+``third_party/BigVGAN/inference.py`` (wav -> mel -> wav) and
+``inference_e2e.py`` (.npy mel -> wav).
+
+Usage:
+  python scripts/synthesize.py --input_wavs_dir IN --output_dir OUT \
+      --checkpoint_file exp/voc/g_00050000 --config configs/varbitrate.toml
+  python scripts/synthesize.py --input_mels_dir IN_NPY --output_dir OUT ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input_wavs_dir", default=None)
+    p.add_argument("--input_mels_dir", default=None)
+    p.add_argument("--output_dir", default="generated_files")
+    p.add_argument("--checkpoint_file", required=True,
+                   help="torch g_* file or Orbax directory")
+    p.add_argument("--config", default="configs/varbitrate.toml")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if (args.input_wavs_dir is None) == (args.input_mels_dir is None):
+        raise SystemExit("give exactly one of --input_wavs_dir / --input_mels_dir")
+
+    import jax.numpy as jnp
+
+    from bvsc_tpu.codec import SCALING, _load_vocoder_checkpoint
+    from bvsc_tpu.config import CodecConfig
+    from bvsc_tpu.data.audio import load_wav, peak_normalize, save_wav
+    from bvsc_tpu.models import vocoder as voc_mod
+    from bvsc_tpu.ops.mel import MelFrontend
+
+    conf = CodecConfig.from_toml(args.config)
+    params = _load_vocoder_checkpoint(
+        args.checkpoint_file, conf.vocoder_config, jnp.float32
+    )
+    frontend = MelFrontend(
+        sampling_rate=conf.fs, n_fft=conf.winsize, num_mels=conf.num_mels,
+        hop_size=conf.hopsize, win_size=conf.winsize, fmin=conf.fmin,
+        fmax=conf.fmax, padding_left=conf.mel_pad_left,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.input_wavs_dir:
+        files = sorted(glob.glob(os.path.join(args.input_wavs_dir, "*.wav")))
+        for f in files:
+            wav, _ = load_wav(f, conf.fs)
+            if wav.ndim > 1:
+                wav = wav[:, 0]
+            wav = peak_normalize(wav) * 0.95
+            mel = frontend(jnp.asarray(wav[None, :]) * SCALING)
+            out = voc_mod.generator_apply(
+                params, conf.vocoder_config, mel, wav.shape[0]
+            )[0, 0, :] / SCALING
+            dst = os.path.join(
+                args.output_dir,
+                os.path.splitext(os.path.basename(f))[0] + "_generated.wav",
+            )
+            save_wav(np.asarray(out), dst, conf.fs)
+            print(dst)
+    else:
+        files = sorted(glob.glob(os.path.join(args.input_mels_dir, "*.npy")))
+        for f in files:
+            mel = np.load(f)
+            if mel.ndim == 2:
+                mel = mel[None]
+            out = voc_mod.generator_apply(
+                params, conf.vocoder_config, jnp.asarray(mel), None
+            )[0, 0, :]
+            dst = os.path.join(
+                args.output_dir,
+                os.path.splitext(os.path.basename(f))[0] + "_generated_e2e.wav",
+            )
+            save_wav(np.asarray(out), dst, conf.fs)
+            print(dst)
+
+
+if __name__ == "__main__":
+    main()

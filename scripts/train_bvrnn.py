@@ -1,0 +1,131 @@
+"""BVRNN VAE training CLI — the trainer the reference left unpublished,
+re-created from its TOML keys (``configs/config_varBitRate.toml:1-38``).
+
+Usage:
+  python scripts/train_bvrnn.py --config configs/varbitrate.toml \
+      --input_wavs_dir WAVS --input_training_file train.txt \
+      --checkpoint_path exp/bvrnn
+
+Pipeline per step: load ``train_seq_duration``-second audio segments ->
+log-mel on device -> scheduled-sampling BVRNN forward -> NLL(log_sigma)+KLD
+-> Adam(exp-decay lr, clip 130), data-parallel over the mesh.  Mel mean/std
+statistics are estimated from the first batches and frozen into the params
+(the reference stores them as non-trainable parameters, ``bvrnn.py:30-31``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/varbitrate.toml")
+    p.add_argument("--checkpoint_path", default="exp/bvrnn")
+    p.add_argument("--input_wavs_dir", default="")
+    p.add_argument("--input_training_file", required=True)
+    p.add_argument("--input_validation_file", default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--stdout_interval", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--stats_batches", type=int, default=8,
+                   help="batches used to estimate mel mean/std")
+    p.add_argument("--seed", type=int, default=1234)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from bvsc_tpu.config import CodecConfig
+    from bvsc_tpu.data.dataset import AudioSegmentDataset
+    from bvsc_tpu.models import bvrnn as bvrnn_mod
+    from bvsc_tpu.ops.mel import MelFrontend
+    from bvsc_tpu.parallel.mesh import make_mesh, shard_batch
+    from bvsc_tpu.train import checkpoint as ckpt
+    from bvsc_tpu.train.bvrnn_train import BVRNNTrainer
+    from bvsc_tpu.utils.logging import TrainLogger
+
+    conf = CodecConfig.from_toml(args.config)
+    batch_size = args.batch_size or conf.batch_size
+    max_steps = args.max_steps or conf.max_steps
+    segment = int(conf.train_seq_duration * conf.fs)
+    segment -= segment % conf.hopsize
+
+    with open(args.input_training_file) as f:
+        train_files = [
+            os.path.join(args.input_wavs_dir, line.split("|")[0])
+            for line in f.read().splitlines() if line
+        ]
+    train_files = [f if f.endswith(".wav") else f + ".wav" for f in train_files]
+    trainset = AudioSegmentDataset(
+        train_files, segment, conf.fs, conf.hopsize, seed=args.seed
+    )
+
+    frontend = MelFrontend(
+        sampling_rate=conf.fs, n_fft=conf.winsize, num_mels=conf.num_mels,
+        hop_size=conf.hopsize, win_size=conf.winsize, fmin=conf.fmin,
+        fmax=conf.fmax, padding_left=conf.mel_pad_left,
+    )
+    mel_fn = jax.jit(lambda y: jnp.swapaxes(frontend(y), 1, 2))
+
+    # --- mel statistics over a few batches (frozen into params) -------------
+    batches = trainset.batches(batch_size)
+    stats_mels = []
+    for _ in range(args.stats_batches):
+        audio, _ = next(batches)
+        stats_mels.append(np.asarray(mel_fn(jnp.asarray(audio))))
+    cat = np.concatenate(stats_mels).reshape(-1, conf.num_mels)
+    mean_std = (cat.mean(0), cat.std(0) + 1e-5)
+    print(f"mel stats from {len(stats_mels)} batches: "
+          f"mean[0]={mean_std[0][0]:.3f} std[0]={mean_std[1][0]:.3f}")
+
+    mesh = make_mesh()
+    trainer = BVRNNTrainer(conf, mesh=mesh, seed=args.seed, mean_std_mel=mean_std)
+
+    # auto-resume
+    if conf.resume or ckpt.scan_checkpoint(args.checkpoint_path, "bvrnn_") is not None:
+        restored, start = ckpt.restore_latest(
+            args.checkpoint_path, "bvrnn_", target=trainer.state
+        )
+        if restored is not None:
+            trainer.state = restored
+            print(f"resumed from step {start}")
+
+    logger = TrainLogger(os.path.join(args.checkpoint_path, "logs"))
+    rng = jax.random.key(args.seed)
+    t0 = time.time()
+    steps = int(trainer.state.step)
+    while steps < max_steps:
+        audio, _ = next(batches)
+        mel = shard_batch(mesh, mel_fn(jnp.asarray(audio)))
+        metrics = trainer.step(mel, rng)
+        steps = int(trainer.state.step)
+
+        if steps % args.stdout_interval == 0:
+            print(f"Steps : {steps}, loss : {float(metrics['loss']):.4f}, "
+                  f"nll : {float(metrics['nll']):.4f}, "
+                  f"kld : {float(metrics['kld']):.4f}, s/b : "
+                  f"{(time.time() - t0) / args.stdout_interval:.3f}")
+            t0 = time.time()
+        if steps % 100 == 0:
+            logger.scalars(metrics, steps)
+        if steps % conf.distinct_chkpt_interval == 0:
+            ckpt.save_step(args.checkpoint_path, "bvrnn_", steps, trainer.state)
+            print(f"saved checkpoint at step {steps}")
+
+    ckpt.save_step(args.checkpoint_path, "bvrnn_", steps, trainer.state)
+    print(f"done at step {steps}")
+
+
+if __name__ == "__main__":
+    main()

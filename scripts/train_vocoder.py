@@ -1,0 +1,213 @@
+"""Vocoder GAN training CLI — TPU-native counterpart of the reference
+``third_party/BigVGAN/train.py`` (same flags where meaningful).
+
+Usage:
+  python scripts/train_vocoder.py --config configs/varbitrate.toml \
+      --input_wavs_dir WAVS --input_training_file train.txt \
+      --input_validation_file val.txt --checkpoint_path exp/voc
+
+Config may be a codec TOML (uses its ``vocoder_config`` table + DSP keys) or
+a BigVGAN-style JSON.  Checkpoints are Orbax directories named
+``g_XXXXXXXX`` / ``do_XXXXXXXX`` (reference naming, ``train.py:327,330``)
+with auto-resume from the latest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint_path", default="exp/vocoder")
+    p.add_argument("--input_wavs_dir", default="")
+    p.add_argument("--input_training_file", required=True)
+    p.add_argument("--input_validation_file", default=None)
+    p.add_argument("--input_mels_dir", default=None,
+                   help="precomputed .npy mels for --fine_tuning")
+    p.add_argument("--training_epochs", type=int, default=100000)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--stdout_interval", type=int, default=5)
+    p.add_argument("--checkpoint_interval", type=int, default=50000)
+    p.add_argument("--summary_interval", type=int, default=100)
+    p.add_argument("--validation_interval", type=int, default=50000)
+    p.add_argument("--freeze_step", type=int, default=0)
+    p.add_argument("--fine_tuning", action="store_true")
+    p.add_argument("--debug", action="store_true", help="skip validation")
+    p.add_argument("--evaluate", action="store_true", help="validate and exit")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--segment_size", type=int, default=8192)
+    p.add_argument("--seed", type=int, default=1234)
+    return p.parse_args(argv)
+
+
+def load_configs(args):
+    from bvsc_tpu.config import CodecConfig, VocoderConfig
+    from bvsc_tpu.train.vocoder_train import GANTrainConfig
+
+    if args.config.endswith(".json"):
+        with open(args.config) as f:
+            raw = json.load(f)
+        vcfg = VocoderConfig.from_dict(raw)
+        tcfg = GANTrainConfig(
+            learning_rate=raw.get("learning_rate", 1e-4),
+            adam_b1=raw.get("adam_b1", 0.8),
+            adam_b2=raw.get("adam_b2", 0.99),
+            lr_decay=raw.get("lr_decay", 0.999),
+            freeze_step=args.freeze_step,
+            segment_size=raw.get("segment_size", args.segment_size),
+            batch_size=args.batch_size or raw.get("batch_size", 32),
+            sampling_rate=raw.get("sampling_rate", 22050),
+            n_fft=raw.get("n_fft", 1024),
+            hop_size=raw.get("hop_size", 256),
+            win_size=raw.get("win_size", 1024),
+            fmin=raw.get("fmin", 0),
+            fmax=raw.get("fmax", 8000),
+            fmax_for_loss=raw.get("fmax_for_loss"),
+            mel_pad_left=raw.get("mel_pad_left", 256),
+        )
+    else:
+        conf = CodecConfig.from_toml(args.config)
+        vcfg = conf.vocoder_config
+        tcfg = GANTrainConfig(
+            freeze_step=args.freeze_step,
+            segment_size=args.segment_size,
+            batch_size=args.batch_size or conf.batch_size,
+            sampling_rate=conf.fs,
+            n_fft=conf.winsize,
+            hop_size=conf.hopsize,
+            win_size=conf.winsize,
+            fmin=conf.fmin,
+            fmax=conf.fmax,
+            mel_pad_left=conf.mel_pad_left,
+        )
+    return vcfg, tcfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from bvsc_tpu.data.dataset import AudioSegmentDataset
+    from bvsc_tpu.eval.metrics import mel_l1, mrstft, pesq_wb_16k
+    from bvsc_tpu.parallel.mesh import make_mesh, shard_batch
+    from bvsc_tpu.train import checkpoint as ckpt
+    from bvsc_tpu.train.vocoder_train import GANTrainState, VocoderGANTrainer
+    from bvsc_tpu.utils.logging import TrainLogger
+    from bvsc_tpu.models import vocoder as voc_mod
+
+    vcfg, tcfg = load_configs(args)
+    mesh = make_mesh()
+    trainer = VocoderGANTrainer(vcfg, tcfg, mesh=mesh, seed=args.seed)
+
+    # auto-resume (reference train.py:63-79)
+    restored, start_step = ckpt.restore_latest(
+        args.checkpoint_path, "do_", target=trainer.state
+    )
+    if restored is not None:
+        trainer.state = restored
+        print(f"resumed from step {start_step}")
+
+    with open(args.input_training_file) as f:
+        train_files = [
+            os.path.join(args.input_wavs_dir, line.split("|")[0])
+            for line in f.read().splitlines() if line
+        ]
+    train_files = [f if f.endswith(".wav") else f + ".wav" for f in train_files]
+    trainset = AudioSegmentDataset(
+        train_files, tcfg.segment_size, tcfg.sampling_rate, tcfg.hop_size,
+        fine_tuning=args.fine_tuning, base_mels_path=args.input_mels_dir,
+        seed=args.seed,
+    )
+    val_files = []
+    if args.input_validation_file:
+        with open(args.input_validation_file) as f:
+            val_files = [
+                os.path.join(args.input_wavs_dir, line.split("|")[0])
+                for line in f.read().splitlines() if line
+            ]
+        val_files = [f if f.endswith(".wav") else f + ".wav" for f in val_files]
+
+    logger = TrainLogger(os.path.join(args.checkpoint_path, "logs"))
+
+    def validate(step):
+        if not val_files:
+            return
+        valset = AudioSegmentDataset(
+            val_files, tcfg.segment_size, tcfg.sampling_rate, tcfg.hop_size,
+            split=False, shuffle=False, seed=args.seed,
+        )
+        gen = trainer.state.gen
+        errs, stfts, pesqs = [], [], []
+        for i in range(len(valset)):
+            audio, _, _ = valset[i]
+            mel = trainer.input_frontend(jnp.asarray(audio[None, :]))
+            y_hat = voc_mod.generator_apply(gen, vcfg, mel, audio.shape[0])[:, 0, :]
+            errs.append(mel_l1(trainer.loss_frontend, jnp.asarray(audio[None, :]), y_hat))
+            stfts.append(mrstft(y_hat, audio[None, :]))
+            p = pesq_wb_16k(audio, np.asarray(y_hat[0]), tcfg.sampling_rate)
+            if p is not None:
+                pesqs.append(p)
+        logger.scalar("validation/mel_spec_error", np.mean(errs), step)
+        logger.scalar("validation/mrstft", np.mean(stfts), step)
+        if pesqs:
+            logger.scalar("validation/pesq", np.mean(pesqs), step)
+        print(f"validation @ {step}: mel_l1={np.mean(errs):.4f} "
+              f"mrstft={np.mean(stfts):.4f}"
+              + (f" pesq={np.mean(pesqs):.3f}" if pesqs else " (pesq unavailable)"))
+
+    if args.evaluate:
+        validate(int(trainer.state.step))
+        return
+
+    steps = int(trainer.state.step)
+    batches = trainset.batches(tcfg.batch_size)
+    steps_per_epoch = max(1, len(trainset) // tcfg.batch_size)
+    t0 = time.time()
+    for audio, mel_ft in batches:
+        epoch = steps // steps_per_epoch
+        trainer.set_epoch(epoch)
+        y = shard_batch(mesh, jnp.asarray(audio))
+        mel_in = None
+        if mel_ft is not None:
+            mel_in = shard_batch(mesh, jnp.asarray(mel_ft))
+        metrics = trainer.step_on_audio(y, mel_in)
+        steps += 1
+
+        if steps % args.stdout_interval == 0:
+            print(
+                f"Steps : {steps}, Gen Loss Total : "
+                f"{float(metrics['gen_loss_total']):.3f}, Mel-Spec. Error : "
+                f"{float(metrics['mel_spec_error']):.3f}, s/b : "
+                f"{(time.time() - t0) / args.stdout_interval:.3f}"
+            )
+            t0 = time.time()
+        if steps % args.summary_interval == 0:
+            logger.scalars(metrics, steps)
+        if steps % args.checkpoint_interval == 0:
+            ckpt.save_step(args.checkpoint_path, "g_", steps,
+                           {"generator": trainer.generator_params_folded})
+            ckpt.save_step(args.checkpoint_path, "do_", steps, trainer.state)
+            print(f"saved checkpoints at step {steps}")
+        if steps % args.validation_interval == 0 and not args.debug:
+            validate(steps)
+        if args.max_steps is not None and steps >= args.max_steps:
+            break
+    ckpt.save_step(args.checkpoint_path, "g_", steps,
+                   {"generator": trainer.generator_params_folded})
+    ckpt.save_step(args.checkpoint_path, "do_", steps, trainer.state)
+    print(f"done at step {steps}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Data pipeline, checkpoint, and eval tooling tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bvsc_tpu.data.audio import load_wav, peak_normalize, save_wav
+from bvsc_tpu.data.dataset import AudioSegmentDataset, get_dataset_filelist
+from bvsc_tpu.eval.mushra import (
+    condition_stats,
+    filter_participants,
+    load_ratings,
+)
+
+
+@pytest.fixture
+def wav_dir(tmp_path, rng):
+    paths = []
+    for i in range(4):
+        x = (rng.standard_normal(30000) * 0.3).astype(np.float32)
+        p = tmp_path / f"f{i}.wav"
+        save_wav(x, str(p), 22050)
+        paths.append(str(p))
+    return tmp_path, paths
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = np.clip(rng.standard_normal(1000) * 0.3, -0.95, 0.95).astype(np.float32)
+    save_wav(x, str(tmp_path / "a.wav"), 22050)
+    y, sr = load_wav(str(tmp_path / "a.wav"), 22050)
+    assert sr == 22050
+    np.testing.assert_allclose(y, x, atol=2.0 / 32767)
+    with pytest.raises(RuntimeError):
+        load_wav(str(tmp_path / "a.wav"), 16000)
+
+
+def test_peak_normalize():
+    x = np.array([0.1, -0.5, 0.25])
+    np.testing.assert_allclose(np.abs(peak_normalize(x)).max(), 1.0)
+    np.testing.assert_array_equal(peak_normalize(np.zeros(3)), np.zeros(3))
+
+
+def test_segment_dataset(wav_dir):
+    tmp_path, paths = wav_dir
+    ds = AudioSegmentDataset(paths, 8192, 22050, 256, seed=0)
+    audio, mel, fname = ds[0]
+    assert audio.shape == (8192,) and mel is None
+    assert np.abs(audio).max() <= 0.951  # peak normalize * 0.95
+    # short file -> zero pad
+    ds_long = AudioSegmentDataset(paths, 50000, 22050, 256, seed=0)
+    audio, _, _ = ds_long[0]
+    assert audio.shape == (50000,) and (audio[30000:] == 0).all()
+    # validation mode trims to hop multiple
+    ds_val = AudioSegmentDataset(paths, 8192, 22050, 256, split=False, shuffle=False)
+    audio, _, _ = ds_val[0]
+    assert audio.shape[0] % 256 == 0
+
+
+def test_batches_sharded_across_hosts(wav_dir):
+    _, paths = wav_dir
+    ds = AudioSegmentDataset(paths, 4096, 22050, 256, seed=0)
+    b0 = next(ds.batches(2, host_id=0, num_hosts=2))
+    b1 = next(ds.batches(2, host_id=1, num_hosts=2))
+    assert b0[0].shape == b1[0].shape == (2, 4096)
+
+
+def test_filelist_parsing(tmp_path, wav_dir):
+    wdir, paths = wav_dir
+    names = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    train = tmp_path / "train.txt"
+    train.write_text("\n".join(f"{n}|meta" for n in names[:3]))
+    val = tmp_path / "val.txt"
+    val.write_text(names[3])
+    tr, va, unseen = get_dataset_filelist(str(train), str(val), str(wdir))
+    assert len(tr) == 3 and len(va) == 1 and unseen == []
+    assert tr[0].endswith("f0.wav") or tr[0].endswith(".wav")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from bvsc_tpu.train import checkpoint as ckpt
+
+    tree = {"a": jnp.arange(5.0), "b": [jnp.ones((2, 2)), jnp.zeros(3)]}
+    p1 = ckpt.save_step(str(tmp_path), "g_", 100, tree)
+    ckpt.save_step(str(tmp_path), "g_", 250, tree)
+    latest = ckpt.scan_checkpoint(str(tmp_path), "g_")
+    assert latest.endswith("g_00000250")
+    restored, step = ckpt.restore_latest(str(tmp_path), "g_", target=tree)
+    assert step == 250
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(5.0))
+    assert ckpt.scan_checkpoint(str(tmp_path), "do_") is None
+
+
+def test_mushra_reproduces_published_means():
+    """The stats tool must reproduce BASELINE.md's MUSHRA numbers."""
+    rows = load_ratings()
+    stats = condition_stats(rows)
+    assert round(stats["Reference"]["mean"], 1) == 99.1
+    assert round(stats["Proposed 5.51"]["mean"], 1) == 60.4
+    assert round(stats["Proposed 1.38"]["mean"], 1) == 54.3
+    assert round(stats["Anchor"]["mean"], 1) == 19.4
+    assert stats["Reference"]["n"] == 152
+
+
+def test_mushra_filtering_rule():
+    """Applying the README screening rule to the raw CSV reproduces the
+    filtered CSV's statistics."""
+    raw = load_ratings("/root/reference/mushra_results_dataset/ratings_formated.csv")
+    filt = filter_participants(raw)
+    stats = condition_stats(filt)
+    ref_stats = condition_stats(load_ratings())
+    for cond in stats:
+        assert abs(stats[cond]["mean"] - ref_stats[cond]["mean"]) < 0.05, cond
