@@ -55,11 +55,19 @@ class BVRNNCodecModel:
         dtype: Any = jnp.float32,
         seed: int = 0,
         length_bucket: int = 64,
+        precision: str = "highest",
     ):
+        """precision: 'highest' (reference-parity f32 matmul passes) or
+        'default' (single-pass bf16 MXU — ~4x faster scans / ~2.5x faster
+        vocoder; codes may differ in rare near-0.5 rounding cases)."""
         self.conf = config if config is not None else load_config(config_path)
         conf = self.conf
         self.dtype = dtype
         self.length_bucket = length_bucket
+        self.precision = (
+            jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
 
         self.bvrnn_cfg = bvrnn_mod.BVRNNConfig(
             x_dim=conf.num_mels,
@@ -67,6 +75,7 @@ class BVRNNCodecModel:
             z_dim=conf.z_dim,
             var_bit=conf.var_bit,
             dtype=dtype,
+            precision=self.precision,
         )
         self.frontend = MelFrontend(
             sampling_rate=conf.fs,
@@ -128,7 +137,7 @@ class BVRNNCodecModel:
     def encode(self, x, bitrate) -> jax.Array:
         """x: (batch, length) waveform; bitrate in bits/s (rounded to the
         nearest bits/frame).  Returns binary codes (batch, frames, z_dim)."""
-        x = jnp.asarray(np.asarray(x), jnp.float32)
+        x = _as_device_array(x, jnp.float32)
         L = x.shape[1]
         Lp = self._pad_length(L)
         x = jnp.pad(x, ((0, 0), (0, Lp - L)))
@@ -143,7 +152,7 @@ class BVRNNCodecModel:
 
     def decode(self, codes, length: int) -> jax.Array:
         """codes: (batch, frames, z_dim); length: output sample count."""
-        codes = jnp.asarray(np.asarray(codes), jnp.float32)
+        codes = _as_device_array(codes, jnp.float32)
         T = codes.shape[1]
         hop = self.conf.hopsize
         # one bucket covers both the code frames and the requested length so
@@ -168,6 +177,14 @@ class BVRNNCodecModel:
     forward = __call__
 
 
+def _as_device_array(x, dtype) -> jax.Array:
+    """Convert host inputs (numpy/torch/lists) without round-tripping arrays
+    that already live on device."""
+    if isinstance(x, jax.Array):
+        return x.astype(dtype) if x.dtype != dtype else x
+    return jnp.asarray(np.asarray(x), dtype)
+
+
 # ---------------------------------------------------------------------------
 # jitted implementations (pure functions of pytrees + static configs)
 # ---------------------------------------------------------------------------
@@ -187,7 +204,10 @@ def _decode_impl(params, voc_params, codes, *, bcfg, vcfg, length):
     B = codes.shape[0]
     h0 = jnp.zeros((B, bcfg.h_dim), bcfg.dtype)
     mel, _ = bvrnn_mod.decode(params, bcfg, codes, h0)
-    wav = voc_mod.generator_apply(voc_params, vcfg, jnp.swapaxes(mel, 1, 2), length)
+    wav = voc_mod.generator_apply(
+        voc_params, vcfg, jnp.swapaxes(mel, 1, 2), length,
+        precision=bcfg.precision,
+    )
     return wav[:, 0, :] / SCALING
 
 

@@ -50,13 +50,14 @@ def conv1d(
     stride: int = 1,
     dilation: int = 1,
     groups: int = 1,
-    precision=DEFAULT_PRECISION,
+    precision=None,
 ) -> jax.Array:
     """torch.nn.functional.conv1d(x, w, b, stride, padding=0, dilation, groups).
 
     x: (B, C_in, T); weight (C_out, C_in/groups, K); returns (B, C_out, T').
     """
     w = conv_weight(p)
+    precision = DEFAULT_PRECISION if precision is None else precision
     y = jax.lax.conv_general_dilated(
         x,
         w,
@@ -77,7 +78,7 @@ def conv_transpose1d(
     p: dict,
     *,
     stride: int,
-    precision=DEFAULT_PRECISION,
+    precision=None,
 ) -> jax.Array:
     """torch.nn.functional.conv_transpose1d with padding=0.
 
@@ -88,6 +89,7 @@ def conv_transpose1d(
     in/out-transposed kernel — a single XLA conv that maps onto the MXU.
     """
     w = conv_weight(p)  # (C_in, C_out, K)
+    precision = DEFAULT_PRECISION if precision is None else precision
     k = w.shape[-1]
     w_flip = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # -> (C_out, C_in, K)
     y = jax.lax.conv_general_dilated(

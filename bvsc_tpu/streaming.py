@@ -276,6 +276,134 @@ class StreamingDecoder:
         return np.asarray(wav)
 
 
+@functools.partial(jax.jit, static_argnames=("bcfg", "vcfg", "frontend"))
+def _fused_packet_step(
+    params, voc_params, state, chunk, bits, *, bcfg, vcfg, frontend
+):
+    """ONE dispatch per 256-sample packet: window roll -> mel -> BVRNN encode
+    step -> BVRNN decode step -> streaming vocoder step.
+
+    state: {window (B, 1024), enc_h (B, h), dec_h (B, h), voc (pytree)}.
+    Returns (state, codes (B, z), wav (B, 256)).
+    """
+    hop = chunk.shape[-1]
+    window = jnp.concatenate([state["window"][:, hop:], chunk], axis=-1)
+    frames = window * SCALING * frontend.window
+    cos_b, sin_b = frontend._dft
+    re = jnp.matmul(frames, cos_b, precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(frames, sin_b, precision=jax.lax.Precision.HIGHEST)
+    mag = jnp.sqrt(re * re + im * im + 1e-9)
+    mel = dynamic_range_compression(mag @ frontend.mel_basis.T)  # (B, M)
+
+    codes, enc_h = bvrnn_mod.encode_with_state(
+        params, bcfg, mel[:, None, :], bits[:, None], state["enc_h"]
+    )
+    mel_hat, dec_h = bvrnn_mod.decode(params, bcfg, codes, state["dec_h"])
+    voc_state, wav = generator_stream_step(
+        voc_params, vcfg, state["voc"], jnp.swapaxes(mel_hat, 1, 2)
+    )
+    new_state = {"window": window, "enc_h": enc_h, "dec_h": dec_h, "voc": voc_state}
+    return new_state, codes[:, 0, :], wav[:, 0, :] / SCALING
+
+
+class FusedPacketCodec:
+    """Real-time packet codec: one jitted XLA call per 11.6 ms packet.
+
+    The rolling mel window lives on device inside the state, so per packet
+    only 256 samples cross the host boundary and exactly one program runs —
+    the minimal-latency configuration for live streaming (the class-based
+    Streaming{Encoder,Decoder} pipeline issues ~3 dispatches per packet).
+    Output equals the one-shot codec exactly.
+    """
+
+    def __init__(self, codec, batch: int = 1, bitrate: float = 3000.0):
+        self.codec = codec
+        conf: CodecConfig = codec.conf
+        self.hop = conf.hopsize
+        self.pad_left = conf.mel_pad_left
+        self.pad_right = conf.winsize - conf.mel_pad_left - conf.hopsize
+        self.batch = batch
+        dtype = codec.bvrnn_cfg.dtype
+        self.bits = jnp.full((batch,), codec.bits_per_frame(bitrate), jnp.float32)
+        self.state = {
+            "window": jnp.zeros((batch, conf.winsize), jnp.float32),
+            "enc_h": jnp.zeros((batch, conf.h_dim), dtype),
+            "dec_h": jnp.zeros((batch, conf.h_dim), dtype),
+            "voc": generator_stream_init(conf.vocoder_config, batch, dtype),
+        }
+        self._prefix = np.zeros((batch, 0), np.float32)
+        self._tail = np.zeros((batch, 0), np.float32)  # last pad_right+1 samples
+        self._started = False
+        self._flushed = False
+
+    def _step(self, chunk_dev) -> tuple[np.ndarray, np.ndarray]:
+        self.state, codes, wav = _fused_packet_step(
+            self.codec.bvrnn_params, self.codec.vocoder_params, self.state,
+            chunk_dev, self.bits,
+            bcfg=self.codec.bvrnn_cfg, vcfg=self.codec.conf.vocoder_config,
+            frontend=self.codec.frontend,
+        )
+        return codes, wav
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        """Push (batch, n*hop) samples; returns decoded audio for every
+        completed frame (possibly empty)."""
+        assert not self._flushed
+        samples = np.asarray(samples, np.float32).reshape(self.batch, -1)
+        self._tail = np.concatenate([self._tail, samples], axis=1)[
+            :, -(self.pad_right + 1) :
+        ]
+        if not self._started:
+            self._prefix = np.concatenate([self._prefix, samples], axis=1)
+            need = self.codec.conf.winsize - self.pad_left  # 768
+            if self._prefix.shape[1] < need:
+                return np.zeros((self.batch, 0), np.float32)
+            x = self._prefix
+            # first frame's window: [reflect pre-roll | x[:768]]; pre-load the
+            # state so rolling in the final hop reproduces it exactly
+            pre = x[:, 1 : self.pad_left + 1][:, ::-1]
+            window0 = np.concatenate([pre, x[:, :need]], axis=1)
+            self.state["window"] = jnp.asarray(
+                np.concatenate(
+                    [np.zeros((self.batch, self.hop), np.float32),
+                     window0[:, : -self.hop]],
+                    axis=1,
+                )
+            )
+            outs = [np.asarray(self._step(jnp.asarray(window0[:, -self.hop :]))[1])]
+            self._started = True
+            rest = x[:, need:]
+            self._prefix = np.zeros((self.batch, 0), np.float32)
+            if rest.shape[1]:
+                outs.append(self._drain(rest))
+            return np.concatenate(outs, axis=1)
+        return self._drain(samples)
+
+    def _drain(self, samples: np.ndarray) -> np.ndarray:
+        self._prefix = np.concatenate([self._prefix, samples], axis=1)
+        outs = []
+        while self._prefix.shape[1] >= self.hop:
+            chunk = self._prefix[:, : self.hop]
+            self._prefix = self._prefix[:, self.hop :]
+            outs.append(np.asarray(self._step(jnp.asarray(chunk))[1]))
+        if not outs:
+            return np.zeros((self.batch, 0), np.float32)
+        return np.concatenate(outs, axis=1)
+
+    def flush(self) -> np.ndarray:
+        """Reflect-pad the tail (one-shot right padding).  Exactly two more
+        frames belong to the one-shot output: the last one-shot frame's
+        window ends precisely at the end of the reflected padding."""
+        assert self._started and not self._flushed
+        self._flushed = True
+        tail = self._tail[:, -self.pad_right - 1 : -1][:, ::-1]
+        leftover = self._prefix.shape[1]
+        pad = (-(leftover + tail.shape[1])) % self.hop
+        ext = np.concatenate([tail, np.zeros((self.batch, pad), np.float32)], axis=1)
+        out = self._drain(ext)
+        return out[:, : 2 * self.hop]
+
+
 class StreamingCodec:
     """Full-duplex convenience wrapper: samples -> codes -> samples."""
 

@@ -103,3 +103,21 @@ def test_streaming_decoder_state_carry(codec, rng):
     np.testing.assert_allclose(
         np.concatenate(parts, axis=1), all_at_once, atol=1e-5
     )
+
+
+def test_fused_packet_codec_equals_oneshot(codec, rng):
+    from bvsc_tpu.streaming import FusedPacketCodec
+
+    for L in (256 * 30, 256 * 20 + 100):
+        x = (rng.standard_normal((1, L)) * 0.3).astype(np.float32)
+        ref_wav = np.asarray(codec(x, 3000))
+        fc = FusedPacketCodec(codec, batch=1, bitrate=3000)
+        outs = [fc.process(x[:, i : i + 256]) for i in range(0, L - 255, 256)]
+        if L % 256:
+            outs.append(fc.process(x[:, L - L % 256 :]))
+        outs.append(fc.flush())
+        wav = np.concatenate(outs, axis=1)
+        n = min(wav.shape[1], ref_wav.shape[1])
+        assert abs(wav.shape[1] - ref_wav.shape[1]) < 256, (wav.shape, ref_wav.shape)
+        np.testing.assert_allclose(wav[:, :n], ref_wav[:, :n], atol=1e-5,
+                                   err_msg=f"L={L}")
