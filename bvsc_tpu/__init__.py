@@ -7,6 +7,17 @@ causal vocoder, data-parallel trainers over ``jax.sharding`` meshes, and a
 batched multi-stream serving engine.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: full-size scan compiles take minutes on
+# tunneled TPU backends, seconds when cached.  Opt out by setting
+# BVSC_NO_COMPILE_CACHE=1 or pre-setting JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("BVSC_NO_COMPILE_CACHE"):
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/jax_comp"),
+    )
+
 from bvsc_tpu.config import CodecConfig, VocoderConfig, load_config
 
 __all__ = [

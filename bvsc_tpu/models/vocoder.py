@@ -201,6 +201,122 @@ def generator_apply(
     return x
 
 
+# ---------------------------------------------------------------------------
+# Fast folded apply (space-to-depth: tiny-channel convs -> MXU-shaped convs)
+# ---------------------------------------------------------------------------
+
+
+def fold_factor(cfg: VocoderConfig, stage: int) -> int:
+    """Per-stage space-to-depth factor: fold until ~128 channels."""
+    ch = cfg.upsample_initial_channel // (2 ** (stage + 1))
+    return max(1, 128 // ch)
+
+
+def prepare_folded_params(params: Params, cfg: VocoderConfig, dtype=jnp.float32) -> Params:
+    """Pre-fold every resblock conv for the space-to-depth fast path
+    (see :mod:`bvsc_tpu.ops.fold`).  Only valid for causal, non-antialiased
+    configs; per-stage fold factor s = max(1, 128 // channels).
+
+    Input params must be inference params (weight-norm already folded).
+    """
+    import numpy as np
+
+    from bvsc_tpu.ops.fold import fold_channel_param, fold_conv_weight
+
+    if any(cfg.layers_sym) or any(cfg.layers_antialias):
+        raise ValueError("folded fast path requires the causal config")
+    num_k = len(cfg.resblock_kernel_sizes)
+    C0 = cfg.upsample_initial_channel
+    out: Params = {
+        "conv_pre": params["conv_pre"],
+        "conv_post": params["conv_post"],
+        "act_post": params["act_post"],
+        "ups": params["ups"],
+        "resblocks": [],
+    }
+    for i in range(len(cfg.upsample_rates)):
+        ch = C0 // (2 ** (i + 1))
+        s = fold_factor(cfg, i)
+        for j, (ksz, dils) in enumerate(
+            zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+        ):
+            block = params["resblocks"][i * num_k + j]
+            fb = {"convs1": [], "convs2": [], "acts": []}
+            for jj, d in enumerate(dils):
+                w1, _ = fold_conv_weight(np.asarray(block["convs1"][jj]["w"]), d, s)
+                w2, _ = fold_conv_weight(np.asarray(block["convs2"][jj]["w"]), 1, s)
+                fb["convs1"].append({
+                    "w": jnp.asarray(w1, dtype),
+                    "b": jnp.asarray(fold_channel_param(block["convs1"][jj]["b"], s), dtype),
+                })
+                fb["convs2"].append({
+                    "w": jnp.asarray(w2, dtype),
+                    "b": jnp.asarray(fold_channel_param(block["convs2"][jj]["b"], s), dtype),
+                })
+            for a in block["acts"]:
+                fb["acts"].append({
+                    k: jnp.asarray(fold_channel_param(np.asarray(v), s), dtype)
+                    for k, v in a.items()
+                })
+            out["resblocks"].append(fb)
+    return out
+
+
+def generator_apply_folded(
+    params: Params, cfg: VocoderConfig, x: jax.Array, length: int | None = None,
+    precision=None,
+) -> jax.Array:
+    """Fast-path generator: identical math to :func:`generator_apply` with
+    the residual stacks run space-to-depth folded.  ``params`` from
+    :func:`prepare_folded_params`."""
+    from bvsc_tpu.ops.fold import fold_time, unfold_time
+
+    num_k = len(cfg.resblock_kernel_sizes)
+    x = pad1d(x, 6, 0)
+    x = conv1d(x, params["conv_pre"], precision=precision)
+
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        x = conv_transpose1d(x, params["ups"][i], stride=u, precision=precision)
+        s = fold_factor(cfg, i)
+        T = x.shape[-1]
+        pad_t = (-T) % s
+        if pad_t:  # causal: right zero-pad never leaks into real outputs
+            x = pad1d(x, 0, pad_t)
+        xf = fold_time(x, s)
+        xs = None
+        for j in range(num_k):
+            fb = params["resblocks"][i * num_k + j]
+            ksz = cfg.resblock_kernel_sizes[j]
+            dils = cfg.resblock_dilation_sizes[j]
+            xb = xf
+            for jj in range(len(fb["convs1"])):
+                # folded left-context (ops.fold.fold_conv_weight's D)
+                D1 = -((-(ksz - 1) * dils[jj]) // s)
+                D2 = -((-(ksz - 1)) // s)
+                xt = apply_activation(xb, fb["acts"][2 * jj], kind=cfg.activation,
+                                      logscale=cfg.snake_logscale)
+                xt = pad1d(xt, D1, 0)
+                xt = conv1d(xt, fb["convs1"][jj], precision=precision)
+                xt = apply_activation(xt, fb["acts"][2 * jj + 1], kind=cfg.activation,
+                                      logscale=cfg.snake_logscale)
+                xt = pad1d(xt, D2, 0)
+                xt = conv1d(xt, fb["convs2"][jj], precision=precision)
+                xb = xt + xb
+            xs = xb if xs is None else xs + xb
+        x = unfold_time(xs / num_k, s)
+        if pad_t:
+            x = x[..., :T]
+
+    x = apply_activation(x, params["act_post"], kind=cfg.activation,
+                         logscale=cfg.snake_logscale)
+    x = pad1d(x, 6, 0)
+    x = conv1d(x, params["conv_post"], precision=precision)
+    x = jnp.tanh(x)
+    if length is not None:
+        x = x[..., :length]
+    return x
+
+
 def fold_generator_params(params: Params) -> Params:
     """Fold all weight-norm (g, v) pairs into plain 'w' for inference
     (reference ``models.py:240-248`` remove_weight_norm)."""

@@ -32,6 +32,8 @@ def parse_args(argv=None):
     p.add_argument("--input_wavs_dir", default="")
     p.add_argument("--input_training_file", required=True)
     p.add_argument("--input_validation_file", default=None)
+    p.add_argument("--val_interval", type=int, default=None,
+                   help="defaults to the config's val_interval")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--stdout_interval", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=None)
@@ -102,6 +104,45 @@ def main(argv=None):
             print(f"resumed from step {start}")
 
     logger = TrainLogger(os.path.join(args.checkpoint_path, "logs"))
+
+    # --- validation: closed-loop greedy forward on held-out segments -------
+    val_mels = None
+    if args.input_validation_file:
+        with open(args.input_validation_file) as f:
+            val_files = [
+                os.path.join(args.input_wavs_dir, line.split("|")[0])
+                for line in f.read().splitlines() if line
+            ]
+        val_files = [f if f.endswith(".wav") else f + ".wav" for f in val_files]
+        valset = AudioSegmentDataset(
+            val_files, segment, conf.fs, conf.hopsize, shuffle=False, seed=0
+        )
+        val_audio = np.stack([valset[i][0] for i in range(len(valset))])
+        val_mels = mel_fn(jnp.asarray(val_audio))
+
+    val_interval = args.val_interval or conf.val_interval
+
+    @jax.jit
+    def val_metrics(params, mels):
+        from bvsc_tpu.train.bvrnn_train import loss_fn
+
+        B, T, _ = mels.shape
+        bits = jnp.full((B, T), float(conf.z_dim))
+        _, m = loss_fn(params, trainer.bcfg, mels, 1.0, bits, jax.random.key(0))
+        return m
+
+    def validate(step):
+        if val_mels is None:
+            return
+        m = val_metrics(trainer.state.params, val_mels)
+        logger.scalars(m, step, prefix="validation/")
+        print(f"validation @ {step}: mse={float(m['mse']):.4f} "
+              f"kld={float(m['kld']):.4f}")
+
+    if conf.validate_only:
+        validate(int(trainer.state.step))
+        return
+
     rng = jax.random.key(args.seed)
     t0 = time.time()
     steps = int(trainer.state.step)
@@ -122,6 +163,8 @@ def main(argv=None):
         if steps % conf.distinct_chkpt_interval == 0:
             ckpt.save_step(args.checkpoint_path, "bvrnn_", steps, trainer.state)
             print(f"saved checkpoint at step {steps}")
+        if steps % val_interval == 0:
+            validate(steps)
 
     ckpt.save_step(args.checkpoint_path, "bvrnn_", steps, trainer.state)
     print(f"done at step {steps}")

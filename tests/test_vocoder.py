@@ -195,3 +195,37 @@ def test_alias_free_resample_matches_torch(rng):
         yd = np.asarray(DownSample1d(ratio)(jnp.asarray(x)))
         np.testing.assert_allclose(yu, yu_ref, atol=1e-5)
         np.testing.assert_allclose(yd, yd_ref, atol=1e-5)
+
+
+def test_folded_fast_path_equals_direct(rng):
+    """Space-to-depth folded generator (ops.fold) is exactly equivalent."""
+    cfg = tiny_cfg()
+    params = jvoc.init_generator_params(jax.random.key(5), cfg, weight_norm=False)
+    folded = jvoc.prepare_folded_params(params, cfg)
+    mel = jnp.asarray(rng.standard_normal((2, cfg.num_mels, 19)).astype(np.float32))
+    y1 = np.asarray(jvoc.generator_apply(params, cfg, mel, 19 * cfg.total_upsample))
+    y2 = np.asarray(jvoc.generator_apply_folded(folded, cfg, mel, 19 * cfg.total_upsample))
+    np.testing.assert_allclose(y2, y1, atol=1e-6)
+
+
+def test_fold_ops_roundtrip_and_conv_equivalence(rng):
+    from bvsc_tpu.ops.fold import fold_conv_weight, fold_time, unfold_time
+    from bvsc_tpu.ops.conv import conv1d, pad1d
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 48)).astype(np.float32))
+    for s in (2, 4):
+        np.testing.assert_array_equal(np.asarray(unfold_time(fold_time(x, s), s)),
+                                      np.asarray(x))
+    # folded causal conv == direct causal conv
+    w = rng.standard_normal((5, 6, 3)).astype(np.float32)
+    b = rng.standard_normal(5).astype(np.float32)
+    for d, s in [(1, 4), (3, 4), (5, 2), (2, 8)]:
+        direct = conv1d(pad1d(x, (3 - 1) * d, 0), {"w": jnp.asarray(w), "b": jnp.asarray(b)},
+                        dilation=d)
+        wf, D = fold_conv_weight(w, d, s)
+        bf = np.tile(b, s)
+        xf = fold_time(x, s)
+        yf = conv1d(pad1d(xf, D, 0), {"w": jnp.asarray(wf), "b": jnp.asarray(bf)})
+        got = unfold_time(yf, s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(direct), atol=1e-5,
+                                   err_msg=f"d={d} s={s}")
