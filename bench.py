@@ -110,6 +110,40 @@ def main():
     t_single = time_fn(lambda w: full_chain(w), x1)
     log(f"single stream: {t_single * 1e3:.1f} ms -> RTF {seconds / t_single:.1f}x")
 
+    # --- single-stream with weight-only int8 scans ---------------------------
+    try:
+        codec_q = BVRNNCodecModel(precision="default", quantize="int8")
+
+        def full_chain_q(wav):
+            return codec_q.decode(codec_q.encode(wav, bitrate), L)
+
+        t_single_q = time_fn(full_chain_q, x1)
+        log(f"single stream int8 scans: {t_single_q * 1e3:.1f} ms -> "
+            f"RTF {seconds / t_single_q:.1f}x")
+        c_q = np.asarray(codec_q.encode(x[:8], bitrate))
+        c_f = np.asarray(codec.encode(x[:8], bitrate))
+        log(f"int8 code agreement vs fast-f32: {(c_q == c_f).mean() * 100:.3f}%")
+    except Exception as e:  # pragma: no cover
+        log("int8 path skipped:", e)
+
+    # --- streaming p50 frame latency (FusedPacketCodec, 1 dispatch/packet) --
+    try:
+        from bvsc_tpu.streaming import FusedPacketCodec
+
+        fc = FusedPacketCodec(codec, batch=1, bitrate=bitrate)
+        lat = []
+        xs = np.asarray(x_host[0])
+        for i in range(0, 256 * 120, 256):
+            t0 = time.perf_counter()
+            fc.process(xs[None, i : i + 256])
+            lat.append(time.perf_counter() - t0)
+        lat = np.array(lat[4:]) * 1e3
+        log(f"streaming frame latency (11.6 ms packets): "
+            f"p50={np.percentile(lat, 50):.2f} ms p99={np.percentile(lat, 99):.2f} ms "
+            f"(dominated by tunnel RTT in this env)")
+    except Exception as e:  # pragma: no cover
+        log("streaming latency check skipped:", e)
+
     # --- end-to-end including host transfers (context, not headline) --------
     t0 = time.perf_counter()
     out = np.asarray(full_chain(jnp.asarray(x_host)))

@@ -56,10 +56,15 @@ class BVRNNCodecModel:
         seed: int = 0,
         length_bucket: int = 64,
         precision: str = "highest",
+        quantize: str | None = None,
     ):
         """precision: 'highest' (reference-parity f32 matmul passes) or
         'default' (single-pass bf16 MXU — ~4x faster scans / ~2.5x faster
-        vocoder; codes may differ in rare near-0.5 rounding cases)."""
+        vocoder; codes may differ in rare near-0.5 rounding cases).
+
+        quantize: None or 'int8' — weight-only int8 BVRNN weights
+        (per-channel scales; ~2.5x faster HBM-bound single-stream scans,
+        ~99.8% code agreement; see ops.quant)."""
         self.conf = config if config is not None else load_config(config_path)
         conf = self.conf
         self.dtype = dtype
@@ -110,6 +115,13 @@ class BVRNNCodecModel:
             self.vocoder_params = voc_mod.init_generator_params(
                 k2, conf.vocoder_config, weight_norm=False, dtype=dtype
             )
+
+        if quantize == "int8":
+            from bvsc_tpu.ops.quant import quantize_bvrnn_params
+
+            self.bvrnn_params = quantize_bvrnn_params(self.bvrnn_params)
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
 
         self._encode_jit = jax.jit(
             functools.partial(_encode_impl, cfg=self.bvrnn_cfg),

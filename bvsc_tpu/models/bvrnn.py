@@ -110,8 +110,20 @@ def param_count(params: Params) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _matmul(x, w, precision):
+    """Matmul supporting plain f32/bf16 weights or weight-only-int8 dicts
+    ({'q', 'scale'}, see ops.quant) — the int8 convert fuses into the MXU
+    pass so weights stay int8 in HBM (4x less traffic in the HBM-bound
+    single-stream scan)."""
+    if isinstance(w, dict):
+        from bvsc_tpu.ops.quant import dequant_matmul
+
+        return dequant_matmul(x, w, precision=precision)
+    return jnp.matmul(x, w, precision=precision)
+
+
 def _dense(p, x, precision):
-    return jnp.matmul(x, p["w"], precision=precision) + p["b"]
+    return _matmul(x, p["w"], precision) + p["b"]
 
 
 def _mlp_elu(layers, x, precision, final_activation=None):
@@ -151,8 +163,8 @@ def gru_step(gru: Params, x: jax.Array, h: jax.Array, precision) -> jax.Array:
     r = sig(Wir x + bir + Whr h + bhr); z likewise;
     n = tanh(Win x + bin + r*(Whn h + bhn)); h' = (1-z)n + z h.
     """
-    gi = jnp.matmul(x, gru["w_ih"], precision=precision) + gru["b_ih"]
-    gh = jnp.matmul(h, gru["w_hh"], precision=precision) + gru["b_hh"]
+    gi = _matmul(x, gru["w_ih"], precision) + gru["b_ih"]
+    gh = _matmul(h, gru["w_hh"], precision) + gru["b_hh"]
     H = h.shape[-1]
     i_r, i_z, i_n = gi[..., :H], gi[..., H : 2 * H], gi[..., 2 * H :]
     h_r, h_z, h_n = gh[..., :H], gh[..., H : 2 * H], gh[..., 2 * H :]

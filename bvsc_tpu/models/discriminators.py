@@ -117,22 +117,33 @@ def _resolution_spectrogram(x: jax.Array, resolution) -> jax.Array:
     pad = (n_fft - hop) // 2
     x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
     x = x[:, 0, :]  # (B, T)
-    # frame (center=False) and zero-pad the rectangular win to n_fft, centered
-    num_frames = 1 + (x.shape[-1] - n_fft) // hop
-    idx = np.arange(n_fft)[None, :] + hop * np.arange(num_frames)[:, None]
-    frames = x[..., idx]  # (B, F, n_fft)
+    # frame (center=False) via XLA patch extraction, and DFT via matmul:
+    # both have conv/matmul backwards — jnp.fft.rfft's gradient is
+    # pathologically slow to AOT-compile on this TPU stack (~10 min per
+    # resolution), a plain gather's scatter-add backward likewise
+    from bvsc_tpu.ops.mel import _frame, dft_real_bases
+
+    frames = _frame(x, n_fft, hop)  # (B, F, n_fft)
     wpad = (n_fft - win) // 2
     mask = np.zeros(n_fft, np.float32)
     mask[wpad : wpad + win] = 1.0
     frames = frames * mask
-    spec = jnp.fft.rfft(frames, axis=-1)
-    mag = jnp.sqrt(spec.real**2 + spec.imag**2 + 1e-12)
+    cos_b, sin_b = dft_real_bases(n_fft)
+    re = jnp.matmul(frames, cos_b, precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(frames, sin_b, precision=jax.lax.Precision.HIGHEST)
+    mag = jnp.sqrt(re * re + im * im + 1e-12)
     return jnp.swapaxes(mag, -1, -2)  # (B, n_bins, F)
 
 
 def discriminator_r_apply(params, x: jax.Array, resolution):
     """x: (B, 1, T) -> (logits, fmap) (reference models.py:354-367)."""
-    mag = _resolution_spectrogram(x, resolution)
+    return discriminator_r_apply_mag(params, _resolution_spectrogram(x, resolution))
+
+
+def discriminator_r_apply_mag(params, mag: jax.Array):
+    """Conv stack on a precomputed |STFT| magnitude (B, bins, frames) —
+    split out so the spectrogram and the conv backward can live in separate
+    XLA programs (the combination OOMs tunneled AOT compile helpers)."""
     x = mag[:, None, :, :]  # (B, 1, bins, frames)
     fmap = []
     strides = [(1, 1), (1, 2), (1, 2), (1, 2), (1, 1)]

@@ -110,10 +110,22 @@ def dynamic_range_compression(x: jax.Array, clip_val: float = 1e-5) -> jax.Array
 
 
 def _frame(y: jax.Array, n_fft: int, hop: int) -> jax.Array:
-    """(B, L) -> (B, F, n_fft) with F = 1 + (L - n_fft)//hop (center=False)."""
-    num_frames = 1 + (y.shape[-1] - n_fft) // hop
-    idx = np.arange(n_fft)[None, :] + hop * np.arange(num_frames)[:, None]
-    return y[..., idx]
+    """(B, L) -> (B, F, n_fft) with F = 1 + (L - n_fft)//hop (center=False).
+
+    Uses XLA's native patch extraction (conv machinery) rather than a gather:
+    the backward pass is then a conv too, which compiles fast and small —
+    the gather formulation's scatter-add backward blows up TPU AOT
+    compilation inside GAN losses.
+    """
+    patches = jax.lax.conv_general_dilated_patches(
+        y[:, None, :],
+        filter_shape=(n_fft,),
+        window_strides=(hop,),
+        padding="VALID",
+        # the identity conv must not round values through bf16 passes
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, n_fft, F)
+    return jnp.swapaxes(patches, -1, -2)
 
 
 def _pad_reflect(y: jax.Array, pad_left: int, pad_right: int) -> jax.Array:

@@ -69,7 +69,10 @@ def _decode_tick(params, voc_params, codes, dec_h, voc_state, active, *, bcfg, v
 
 
 class ServingEngine:
-    def __init__(self, codec: BVRNNCodecModel, max_streams: int = 128):
+    def __init__(self, codec: BVRNNCodecModel, max_streams: int = 128, mesh=None):
+        """mesh: optional jax.sharding.Mesh — shards the stream batch over
+        the mesh's data axis (multi-chip serving over ICI; params replicated
+        by jit's sharding propagation)."""
         self.codec = codec
         conf = codec.conf
         self.B = max_streams
@@ -81,6 +84,17 @@ class ServingEngine:
         self.enc_h = jnp.zeros((self.B, conf.h_dim), dtype)
         self.dec_h = jnp.zeros((self.B, conf.h_dim), dtype)
         self.voc_state = generator_stream_init(conf.vocoder_config, self.B, dtype)
+        self._batch_sharding = None
+        if mesh is not None:
+            from bvsc_tpu.parallel.mesh import batch_sharded
+
+            if self.B % mesh.size:
+                raise ValueError("max_streams must divide evenly over the mesh")
+            self._batch_sharding = batch_sharded(mesh)
+            put = lambda t: jax.device_put(t, self._batch_sharding)
+            self.enc_h = put(self.enc_h)
+            self.dec_h = put(self.dec_h)
+            self.voc_state = jax.tree.map(put, self.voc_state)
         self.bits = np.zeros(self.B, np.float32)
 
         self._free = list(range(max_streams))
@@ -159,6 +173,22 @@ class ServingEngine:
             return {}
         active = np.zeros(self.B, bool)
         active[advanced] = True
+        if self._batch_sharding is not None:
+            win = jax.device_put(jnp.asarray(self._win), self._batch_sharding)
+            act = jax.device_put(jnp.asarray(active), self._batch_sharding)
+            codes, self.enc_h = _encode_tick(
+                self.codec.bvrnn_params, win, self.enc_h,
+                jax.device_put(jnp.asarray(self.bits), self._batch_sharding), act,
+                bcfg=self._bcfg, frontend=self._frontend,
+            )
+            wav, self.dec_h, self.voc_state = _decode_tick(
+                self.codec.bvrnn_params, self.codec.vocoder_params, codes,
+                self.dec_h, self.voc_state, act,
+                bcfg=self._bcfg, vcfg=self._vcfg,
+            )
+            codes_np = np.asarray(codes)
+            wav_np = np.asarray(wav)
+            return {sid: (codes_np[sid], wav_np[sid]) for sid in advanced}
         codes, self.enc_h = _encode_tick(
             self.codec.bvrnn_params, jnp.asarray(self._win),
             self.enc_h, jnp.asarray(self.bits), jnp.asarray(active),

@@ -22,6 +22,7 @@ exact loss-mel parity with upstream is unattainable by construction.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -90,7 +91,13 @@ def make_gan_train_step(tcfg: GANTrainConfig, vcfg: VocoderConfig, opt_g, opt_d)
     where it is a BVRNN-decoded mel); ``y_mel_target`` is the loss-band mel
     of the ground truth.  D and G are two XLA programs (like the reference's
     two optimizer steps) — one fused program compiles 2x slower and can OOM
-    the AOT compile helper."""
+    the AOT compile helper.
+
+    For environments where even these compile too slowly (tunneled AOT
+    helpers), :class:`VocoderGANTrainer` also exposes a fully split
+    formulation (``split_programs=True``): per-discriminator gradient
+    programs plus a surrogate-loss generator update — a dozen small XLA
+    programs instead of two big ones, mathematically identical."""
 
     loss_frontend = MelFrontend(
         sampling_rate=tcfg.sampling_rate, n_fft=tcfg.n_fft, hop_size=tcfg.hop_size,
@@ -180,6 +187,148 @@ def make_gan_train_step(tcfg: GANTrainConfig, vcfg: VocoderConfig, opt_g, opt_d)
     return d_step, g_step
 
 
+def make_split_gan_programs(tcfg: GANTrainConfig, vcfg: VocoderConfig, opt_g, opt_d):
+    """Per-discriminator program decomposition of the GAN step.
+
+    Mathematically identical to (d_step, g_step) but compiled as ~12 small
+    XLA programs (one per sub-discriminator + generator fwd + two updates):
+
+      * D side: per-discriminator jax.grad wrt that discriminator's params
+        on (y, stop_grad(y_hat)) — losses are independent sums, so grads
+        concatenate exactly;
+      * G side: per-discriminator cotangent dL_adv/d y_hat, summed on
+        device, then one surrogate-loss program
+        grad_gen[45*L1mel(gen) + vdot(y_hat(gen), stop_grad(cot))] — the
+        chain rule written out, exact.
+    """
+    from bvsc_tpu.models.discriminators import (
+        _resolution_spectrogram,
+        discriminator_p_apply,
+        discriminator_r_apply_mag,
+    )
+
+    loss_frontend = MelFrontend(
+        sampling_rate=tcfg.sampling_rate, n_fft=tcfg.n_fft, hop_size=tcfg.hop_size,
+        win_size=tcfg.win_size, fmin=tcfg.fmin,
+        fmax=tcfg.fmax_for_loss if tcfg.fmax_for_loss is not None
+        else tcfg.sampling_rate / 2,
+        padding_left=tcfg.mel_pad_left, num_mels=vcfg.num_mels,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def gen_fwd(gen_params, mel_in, length):
+        return voc_mod.generator_apply(gen_params, vcfg, mel_in, length)
+
+    def _one_disc(d_params_i, x, kind, idx):
+        """x is the waveform for MPD, the |STFT| magnitude for MRD (the
+        spectrogram runs in its own program — see mrd_spec/spec_vjp)."""
+        if kind == "mpd":
+            return discriminator_p_apply(d_params_i, x, vcfg.mpd_reshapes[idx])
+        return discriminator_r_apply_mag(d_params_i, x)
+
+    @functools.partial(jax.jit, static_argnames=("idx",))
+    def mrd_spec(x, *, idx):
+        """Forward-only |STFT| at resolution idx (own program)."""
+        return _resolution_spectrogram(x, vcfg.resolutions[idx])
+
+    @functools.partial(jax.jit, static_argnames=("idx",))
+    def mrd_spec_vjp(y_hat, cot_mag, *, idx):
+        """Chain a magnitude cotangent back to the waveform:
+        grad_yhat[vdot(|STFT|(y_hat), stop_grad(cot_mag))]."""
+        return jax.grad(
+            lambda yh: jnp.vdot(
+                _resolution_spectrogram(yh, vcfg.resolutions[idx]),
+                jax.lax.stop_gradient(cot_mag),
+            )
+        )(y_hat)
+
+    @functools.partial(jax.jit, static_argnames=("kind", "idx", "real"))
+    def d_grads_half(d_params_i, x, *, kind, idx, real):
+        """One LSGAN D-loss half — (1-D(y))^2 on real or D(y_hat)^2 on
+        generated — and its param grads.  The two halves are additive, so
+        grads sum exactly; splitting halves the backward program (the full
+        two-pass program OOMs tunneled AOT compile helpers).  For MRD, x is
+        a precomputed magnitude (constant wrt d params)."""
+
+        def loss_fn(p):
+            d, _ = _one_disc(p, x, kind, idx)
+            return jnp.mean((1.0 - d) ** 2) if real else jnp.mean(d**2)
+
+        return jax.value_and_grad(loss_fn)(d_params_i)
+
+    def d_grads_one(d_params_i, y, y_hat, *, kind, idx):
+        lr, gr = d_grads_half(d_params_i, y, kind=kind, idx=idx, real=True)
+        lg, gg = d_grads_half(d_params_i, y_hat, kind=kind, idx=idx, real=False)
+        return lr + lg, jax.tree.map(jnp.add, gr, gg)
+
+    @functools.partial(jax.jit, static_argnames=("kind", "idx"))
+    def disc_fmaps(d_params_i, x, *, kind, idx):
+        """Forward-only feature maps of the REAL input (constants for the
+        G step — keeping them out of the backward program halves it)."""
+        _, fmap = _one_disc(d_params_i, x, kind, idx)
+        return fmap
+
+    @functools.partial(jax.jit, static_argnames=("kind", "idx"))
+    def g_cotangent_one(d_params_i, fmap_r, y_hat, *, kind, idx):
+        """(adv + feature-matching) loss of one sub-discriminator and its
+        gradient wrt y_hat (for MRD: wrt the magnitude; chain with
+        mrd_spec_vjp).  fmap_r comes from :func:`disc_fmaps`."""
+
+        def loss_fn(yh):
+            dg, fmap_g = _one_disc(d_params_i, yh, kind, idx)
+            adv = jnp.mean((1.0 - dg) ** 2)
+            fm = 0.0
+            for rl, gl in zip(fmap_r, fmap_g):
+                fm += jnp.mean(jnp.abs(jax.lax.stop_gradient(rl) - gl))
+            return adv + 2.0 * fm, (adv, 2.0 * fm)
+
+        (loss, aux), cot = jax.value_and_grad(loss_fn, has_aux=True)(y_hat)
+        return loss, aux, cot
+
+    @jax.jit
+    def d_update(state: GANTrainState, d_grads):
+        frozen = state.step < tcfg.freeze_step
+        d_params = {"mpd": state.mpd, "mrd": state.mrd}
+
+        def apply_d(_):
+            updates, opt_state = opt_d.update(d_grads, state.opt_d, d_params)
+            return optax.apply_updates(d_params, updates), opt_state
+
+        new_d, new_opt_d = jax.lax.cond(
+            frozen, lambda _: (d_params, state.opt_d), apply_d, None
+        )
+        return GANTrainState(state.gen, new_d["mpd"], new_d["mrd"],
+                             state.opt_g, new_opt_d, state.step)
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def g_update(state: GANTrainState, mel_in, y_mel, cot, length):
+        frozen = state.step < tcfg.freeze_step
+
+        def loss_fn(gen_params):
+            y_hat = voc_mod.generator_apply(gen_params, vcfg, mel_in, length)
+            y_hat_mel = loss_frontend(y_hat[:, 0, :])
+            loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * tcfg.mel_loss_weight
+            adv_surrogate = jnp.vdot(y_hat, jax.lax.stop_gradient(cot))
+            loss = loss_mel + jnp.where(frozen, 0.0, adv_surrogate)
+            return loss, loss_mel
+
+        (_, loss_mel), g_grads = jax.value_and_grad(loss_fn, has_aux=True)(state.gen)
+        g_updates, new_opt_g = opt_g.update(g_grads, state.opt_g, state.gen)
+        new_gen = optax.apply_updates(state.gen, g_updates)
+        metrics = {
+            "mel_spec_error": loss_mel / tcfg.mel_loss_weight,
+            "grad_norm_g": optax.global_norm(g_grads),
+        }
+        return (
+            GANTrainState(new_gen, state.mpd, state.mrd, new_opt_g,
+                          state.opt_d, state.step + 1),
+            metrics,
+        )
+
+    return (gen_fwd, d_grads_one, g_cotangent_one, d_update, g_update,
+            mrd_spec, mrd_spec_vjp, disc_fmaps)
+
+
 def _make_optimizer(tcfg: GANTrainConfig):
     """AdamW (torch default weight_decay 0.01) + clip, lr injected so the
     per-epoch ExponentialLR schedule can be driven from the host."""
@@ -202,8 +351,10 @@ class VocoderGANTrainer:
         mesh=None,
         seed: int = 0,
         gen_params=None,
+        split_programs: bool = False,
     ):
         self.vcfg, self.tcfg = vcfg, tcfg
+        self.split_programs = split_programs
         self.mesh = mesh if mesh is not None else make_mesh()
         self.epoch = 0
         k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
@@ -235,6 +386,13 @@ class VocoderGANTrainer:
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
+        if split_programs:
+            (self._gen_fwd, self._d_grads_one, self._g_cot_one,
+             self._d_update, self._g_update,
+             self._mrd_spec, self._mrd_spec_vjp,
+             self._disc_fmaps) = make_split_gan_programs(
+                tcfg, vcfg, self.opt_g, self.opt_d
+            )
         self.input_frontend = MelFrontend(
             sampling_rate=tcfg.sampling_rate, n_fft=tcfg.n_fft,
             hop_size=tcfg.hop_size, win_size=tcfg.win_size, fmin=tcfg.fmin,
@@ -266,9 +424,65 @@ class VocoderGANTrainer:
         T = y.shape[-1] // self.tcfg.hop_size
         mel = mel[..., :T] if mel_in is None else jnp.asarray(mel_in)[..., :T]
         mel_loss = mel_loss[..., :T]
+        if self.split_programs:
+            return self._step_split(mel, y[:, None, :], mel_loss)
         self.state, d_metrics = self._d_step(self.state, mel, y[:, None, :])
         self.state, g_metrics = self._g_step(self.state, mel, y[:, None, :], mel_loss)
         return {**d_metrics, **g_metrics}
+
+    def _step_split(self, mel, y, y_mel) -> dict:
+        """Per-discriminator program decomposition (see
+        make_split_gan_programs); same math as the two-program step."""
+        length = y.shape[-1]
+        y_hat = jax.lax.stop_gradient(self._gen_fwd(self.state.gen, mel, length))
+
+        # MRD operates on magnitudes computed in their own programs
+        mags_r = [self._mrd_spec(y, idx=i)
+                  for i in range(len(self.vcfg.resolutions))]
+        mags_g = [self._mrd_spec(y_hat, idx=i)
+                  for i in range(len(self.vcfg.resolutions))]
+
+        # ---- D: independent grads per sub-discriminator ----
+        d_grads = {"mpd": [], "mrd": []}
+        d_loss_f = d_loss_s = 0.0
+        for i in range(len(self.vcfg.mpd_reshapes)):
+            l, g = self._d_grads_one(self.state.mpd[i], y, y_hat, kind="mpd", idx=i)
+            d_loss_f += float(l)
+            d_grads["mpd"].append(g)
+        for i in range(len(self.vcfg.resolutions)):
+            l, g = self._d_grads_one(self.state.mrd[i], mags_r[i], mags_g[i],
+                                     kind="mrd", idx=i)
+            d_loss_s += float(l)
+            d_grads["mrd"].append(g)
+        self.state = self._d_update(self.state, d_grads)
+
+        # ---- G: cotangent accumulation against the updated D ----
+        cot = jnp.zeros_like(y_hat)
+        adv_tot = fm_tot = 0.0
+        for i in range(len(self.vcfg.mpd_reshapes)):
+            fmap_r = self._disc_fmaps(self.state.mpd[i], y, kind="mpd", idx=i)
+            _, (adv, fm), c = self._g_cot_one(self.state.mpd[i], fmap_r, y_hat,
+                                              kind="mpd", idx=i)
+            cot = cot + c
+            adv_tot += float(adv)
+            fm_tot += float(fm)
+        for i in range(len(self.vcfg.resolutions)):
+            fmap_r = self._disc_fmaps(self.state.mrd[i], mags_r[i],
+                                      kind="mrd", idx=i)
+            _, (adv, fm), c_mag = self._g_cot_one(self.state.mrd[i], fmap_r,
+                                                  mags_g[i], kind="mrd", idx=i)
+            cot = cot + self._mrd_spec_vjp(y_hat, c_mag, idx=i)
+            adv_tot += float(adv)
+            fm_tot += float(fm)
+        self.state, g_metrics = self._g_update(self.state, mel, y_mel, cot, length)
+        g_metrics = dict(g_metrics)
+        g_metrics.update(
+            disc_loss_mpd=d_loss_f, disc_loss_mrd=d_loss_s,
+            gen_adv_loss=adv_tot, fm_loss=fm_tot,
+            gen_loss_total=float(g_metrics["mel_spec_error"])
+            * self.tcfg.mel_loss_weight + adv_tot + fm_tot,
+        )
+        return g_metrics
 
     @property
     def generator_params_folded(self):

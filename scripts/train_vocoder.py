@@ -47,6 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--segment_size", type=int, default=8192)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--split_programs", choices=["auto", "on", "off"], default="auto",
+                   help="per-discriminator program decomposition (mathematically "
+                        "identical; keeps TPU AOT compiles tractable). auto = on "
+                        "for TPU backends")
     return p.parse_args(argv)
 
 
@@ -108,7 +112,13 @@ def main(argv=None):
 
     vcfg, tcfg = load_configs(args)
     mesh = make_mesh()
-    trainer = VocoderGANTrainer(vcfg, tcfg, mesh=mesh, seed=args.seed)
+    split = (
+        jax.default_backend() == "tpu"
+        if args.split_programs == "auto"
+        else args.split_programs == "on"
+    )
+    trainer = VocoderGANTrainer(vcfg, tcfg, mesh=mesh, seed=args.seed,
+                                split_programs=split)
 
     # auto-resume (reference train.py:63-79)
     restored, start_step = ckpt.restore_latest(

@@ -143,3 +143,32 @@ def test_mrstft_loss_sane(rng):
     ))
     assert same < 1e-3
     assert other > same + 0.5
+
+
+def test_split_programs_match_two_program_step(rng):
+    """The per-discriminator decomposition must produce the same updates as
+    the fused two-program step."""
+    import jax
+
+    from bvsc_tpu.train.vocoder_train import GANTrainConfig, VocoderGANTrainer
+
+    cfg = disc_cfg(num_mels=8, upsample_initial_channel=8,
+                   upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                   resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 2),),
+                   layers_sym=(False, False), layers_antialias=(False, False))
+    tcfg = GANTrainConfig(segment_size=1024, batch_size=4, hop_size=8,
+                          n_fft=64, win_size=64, mel_pad_left=16,
+                          fmax=4000.0, freeze_step=0)
+    y = (rng.standard_normal((4, tcfg.segment_size)) * 0.3).astype(np.float32)
+
+    t1 = VocoderGANTrainer(cfg, tcfg, seed=7)
+    t2 = VocoderGANTrainer(cfg, tcfg, seed=7, split_programs=True)
+    m1 = t1.step_on_audio(y)
+    m2 = t2.step_on_audio(y)
+
+    np.testing.assert_allclose(float(m1["mel_spec_error"]),
+                               float(m2["mel_spec_error"]), rtol=1e-5)
+    for p1, p2 in zip(jax.tree.leaves(t1.state.gen), jax.tree.leaves(t2.state.gen)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=2e-5)
+    for p1, p2 in zip(jax.tree.leaves(t1.state.mpd), jax.tree.leaves(t2.state.mpd)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=2e-5)

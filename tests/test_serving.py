@@ -180,3 +180,27 @@ def test_bitpack_payload_rate():
     payload = pack_codes(codes, 35)
     bps = len(payload) * 8 / 100.0
     assert abs(bps - 3014.6) < 1.0
+
+
+def test_engine_sharded_over_mesh_matches_unsharded(codec, rng):
+    """Multi-chip serving: batch sharded over an 8-device mesh gives the
+    same codes as single-device serving."""
+    from bvsc_tpu.parallel.mesh import make_mesh
+
+    L = 768 + 256 * 4
+    x = (rng.standard_normal(L) * 0.3).astype(np.float32)
+
+    def run(engine):
+        sid = engine.open_stream(3000)
+        engine.push(sid, x)
+        cs = []
+        while True:
+            out = engine.tick()
+            if sid not in out:
+                break
+            cs.append(out[sid][0])
+        return np.stack(cs)
+
+    c_plain = run(ServingEngine(codec, max_streams=8))
+    c_mesh = run(ServingEngine(codec, max_streams=8, mesh=make_mesh(8)))
+    np.testing.assert_array_equal(c_mesh, c_plain)
