@@ -152,11 +152,14 @@ def test_split_programs_match_two_program_step(rng):
 
     from bvsc_tpu.train.vocoder_train import GANTrainConfig, VocoderGANTrainer
 
+    # minimal discriminators (1 period + 1 resolution): the fused reference
+    # step this compares against compiles in minutes otherwise
     cfg = disc_cfg(num_mels=8, upsample_initial_channel=8,
                    upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
                    resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 2),),
-                   layers_sym=(False, False), layers_antialias=(False, False))
-    tcfg = GANTrainConfig(segment_size=1024, batch_size=4, hop_size=8,
+                   layers_sym=(False, False), layers_antialias=(False, False),
+                   mpd_reshapes=(3,), resolutions=((128, 32, 64),))
+    tcfg = GANTrainConfig(segment_size=512, batch_size=4, hop_size=8,
                           n_fft=64, win_size=64, mel_pad_left=16,
                           fmax=4000.0, freeze_step=0)
     y = (rng.standard_normal((4, tcfg.segment_size)) * 0.3).astype(np.float32)
