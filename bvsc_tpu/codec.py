@@ -148,8 +148,17 @@ class BVRNNCodecModel:
 
     def encode(self, x, bitrate) -> jax.Array:
         """x: (batch, length) waveform; bitrate in bits/s (rounded to the
-        nearest bits/frame).  Returns binary codes (batch, frames, z_dim)."""
+        nearest bits/frame).  Returns binary codes (batch, frames, z_dim).
+        A 1-D ``(length,)`` waveform is auto-promoted to batch 1 and the
+        batch axis squeezed from the result."""
         x = _as_device_array(x, jnp.float32)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[None, :]
+        if x.ndim != 2:
+            raise ValueError(
+                f"encode expects (batch, length) or (length,) waveform, got shape {x.shape}"
+            )
         L = x.shape[1]
         Lp = self._pad_length(L)
         x = jnp.pad(x, ((0, 0), (0, Lp - L)))
@@ -160,11 +169,22 @@ class BVRNNCodecModel:
             jnp.asarray(self.bits_per_frame(bitrate), jnp.float32),
             frontend=self.frontend,
         )
-        return codes[:, :n_frames]
+        codes = codes[:, :n_frames]
+        return codes[0] if squeeze else codes
 
     def decode(self, codes, length: int) -> jax.Array:
-        """codes: (batch, frames, z_dim); length: output sample count."""
+        """codes: (batch, frames, z_dim); length: output sample count.
+        2-D ``(frames, z_dim)`` codes are auto-promoted to batch 1 and the
+        batch axis squeezed from the result."""
         codes = _as_device_array(codes, jnp.float32)
+        squeeze = codes.ndim == 2
+        if squeeze:
+            codes = codes[None]
+        if codes.ndim != 3:
+            raise ValueError(
+                "decode expects (batch, frames, z_dim) or (frames, z_dim) "
+                f"codes, got shape {codes.shape}"
+            )
         T = codes.shape[1]
         hop = self.conf.hopsize
         # one bucket covers both the code frames and the requested length so
@@ -179,11 +199,12 @@ class BVRNNCodecModel:
             vcfg=self.conf.vocoder_config,
             length=padded_len,
         )
-        return y[:, :length]
+        y = y[:, :length]
+        return y[0] if squeeze else y
 
     def __call__(self, x, bitrate) -> jax.Array:
         """One-shot encode+decode (reference ``bvrnn_codec_model.py:73-76``)."""
-        length = np.asarray(x).shape[1]
+        length = np.asarray(x).shape[-1]
         return self.decode(self.encode(x, bitrate), length)
 
     forward = __call__

@@ -115,15 +115,24 @@ class AudioSegmentDataset:
             # mel: (num_mels, frames)
             if self.split:
                 frames_per_seg = math.ceil(self.segment_size / self.hop_size)
-                if audio.shape[0] >= self.segment_size:
-                    start = int(self._rng.integers(0, mel.shape[1] - frames_per_seg))
+                if audio.shape[0] >= self.segment_size and mel.shape[1] >= frames_per_seg:
+                    # endpoint=True: a mel exactly frames_per_seg long is a
+                    # valid zero-offset crop (reference meldataset.py has the
+                    # same off-by-one crash; deliberately not replicated)
+                    start = int(
+                        self._rng.integers(0, mel.shape[1] - frames_per_seg, endpoint=True)
+                    )
                     mel = mel[:, start : start + frames_per_seg]
                     audio = audio[
                         start * self.hop_size : (start + frames_per_seg) * self.hop_size
                     ]
                 else:
-                    mel = np.pad(mel, ((0, 0), (0, frames_per_seg - mel.shape[1])))
-                    audio = np.pad(audio, (0, self.segment_size - audio.shape[0]))
+                    mel = np.pad(mel, ((0, 0), (0, max(0, frames_per_seg - mel.shape[1]))))[
+                        :, :frames_per_seg
+                    ]
+                    audio = np.pad(audio, (0, max(0, self.segment_size - audio.shape[0])))[
+                        : self.segment_size
+                    ]
             return audio, mel, filename
 
         if self.split:

@@ -26,6 +26,7 @@ long bvsc_pack(const uint8_t *codes, const int32_t *bits_per_frame,
     const uint8_t *row = codes + t * z_dim;
     int32_t k = bits_per_frame[t];
     if (k > z_dim) k = (int32_t)z_dim;
+    if (k < 0) k = 0;
     for (int32_t b = 0; b < k; ++b, ++bitpos) {
       if (row[b])
         out[bitpos >> 3] |= (uint8_t)(1u << (bitpos & 7));
@@ -35,14 +36,21 @@ long bvsc_pack(const uint8_t *codes, const int32_t *bits_per_frame,
 }
 
 /* Inverse: fills codes (frames*z_dim float32) with unpacked bits; bits
- * beyond k get the uninformative midpoint 0.5 (reference bvrnn.py:129). */
-long bvsc_unpack(const uint8_t *packed, const int32_t *bits_per_frame,
+ * beyond k get the uninformative midpoint 0.5 (reference bvrnn.py:129).
+ * `payload_len` is the byte length of `packed`; returns -1 (without
+ * reading past the buffer) if the requested bits exceed it, else the
+ * number of payload bytes consumed. */
+long bvsc_unpack(const uint8_t *packed, long payload_len,
+                 const int32_t *bits_per_frame,
                  long frames, long z_dim, float *codes) {
   long bitpos = 0;
+  long payload_bits = payload_len << 3;
   for (long t = 0; t < frames; ++t) {
     float *row = codes + t * z_dim;
     int32_t k = bits_per_frame[t];
     if (k > z_dim) k = (int32_t)z_dim;
+    if (k < 0) k = 0;
+    if (bitpos + k > payload_bits) return -1;
     for (long b = 0; b < z_dim; ++b) {
       if (b < k) {
         row[b] = (packed[bitpos >> 3] >> (bitpos & 7)) & 1u ? 1.0f : 0.0f;

@@ -2,13 +2,19 @@
 
 Packs the first-k priority bits of each frame into a contiguous little-endian
 bitstream (k bits per 11.6 ms frame = the actual transmitted payload).  Uses
-the native C kernel (``bvsc_tpu/native/bitpack.c``, compiled on first use
-and cached) with a pure-numpy fallback.
+the native C kernel (``bvsc_tpu/native/bitpack.c``), compiled from source on
+first use into a hash-keyed cache directory (never a checked-in binary), with
+a pure-numpy fallback.
+
+Both paths validate the payload length before touching native memory:
+``unpack_codes`` raises ``ValueError`` on a truncated payload instead of
+reading out of bounds, and negative bit counts are clamped to zero.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import tempfile
@@ -17,19 +23,31 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _SRC = os.path.join(_NATIVE_DIR, "bitpack.c")
+_CACHE_DIR = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")), "bvsc_tpu"
+)
 _lib = None
 _tried = False
 
 
 def _load_native():
+    """Compile bitpack.c (keyed by source hash) into the cache dir and load it.
+
+    Building from source every time the source changes — and never loading a
+    binary that doesn't match the current source hash — means no unauditable
+    prebuilt .so can be swapped in via the repo.
+    """
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
-    so_path = os.path.join(_NATIVE_DIR, "libbvscbitpack.so")
     try:
-        if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(_SRC):
-            with tempfile.NamedTemporaryFile(suffix=".so", dir=_NATIVE_DIR, delete=False) as tmp:
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        so_path = os.path.join(_CACHE_DIR, f"libbvscbitpack-{digest}.so")
+        if not os.path.exists(so_path):
+            with tempfile.NamedTemporaryFile(suffix=".so", dir=_CACHE_DIR, delete=False) as tmp:
                 subprocess.run(
                     ["cc", "-O3", "-shared", "-fPIC", "-o", tmp.name, _SRC],
                     check=True, capture_output=True,
@@ -43,7 +61,8 @@ def _load_native():
         ]
         lib.bvsc_unpack.restype = ctypes.c_long
         lib.bvsc_unpack.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32),
             ctypes.c_long, ctypes.c_long, ctypes.POINTER(ctypes.c_float),
         ]
         _lib = lib
@@ -56,7 +75,26 @@ def _as_bits(bits_per_frame, frames: int) -> np.ndarray:
     bits = np.asarray(bits_per_frame, np.int32)
     if bits.ndim == 0:
         bits = np.full(frames, int(bits), np.int32)
-    return np.ascontiguousarray(bits)
+    if bits.shape != (frames,):
+        raise ValueError(f"bits_per_frame shape {bits.shape} != ({frames},)")
+    return np.ascontiguousarray(np.clip(bits, 0, None))
+
+
+def _total_bits(bits_per_frame, frames: int, z_dim: int) -> int:
+    """Total transmitted bits, WITHOUT materializing a per-frame array for
+    scalar allocations (an untrusted multi-GB `frames` header must be
+    rejectable without a proportional allocation)."""
+    bits = np.asarray(bits_per_frame, np.int32)
+    if bits.ndim == 0:
+        return max(0, min(int(bits), z_dim)) * frames
+    if bits.shape != (frames,):
+        raise ValueError(f"bits_per_frame shape {bits.shape} != ({frames},)")
+    return int(np.minimum(np.clip(bits, 0, None), z_dim).sum())
+
+
+def payload_nbytes(bits_per_frame, frames: int, z_dim: int) -> int:
+    """Exact packed-payload size for a given bit allocation."""
+    return (_total_bits(bits_per_frame, frames, z_dim) + 7) // 8
 
 
 def pack_codes(codes: np.ndarray, bits_per_frame) -> bytes:
@@ -86,17 +124,28 @@ def pack_codes(codes: np.ndarray, bits_per_frame) -> bytes:
 
 def unpack_codes(payload: bytes, bits_per_frame, frames: int, z_dim: int) -> np.ndarray:
     """Inverse of :func:`pack_codes`: (frames, z_dim) float32 with 0.5 in
-    untransmitted positions."""
+    untransmitted positions.  Raises ``ValueError`` if the payload is too
+    short for the requested bit allocation (native and numpy paths agree);
+    the length check runs before any frames-proportional allocation."""
+    total_bits = _total_bits(bits_per_frame, frames, z_dim)
+    buf = np.frombuffer(payload, np.uint8)
+    if buf.size * 8 < total_bits:
+        raise ValueError(
+            f"payload too short: {buf.size} B < {(total_bits + 7) // 8} B "
+            f"needed for {frames} frames"
+        )
     bits = _as_bits(bits_per_frame, frames)
     out = np.empty((frames, z_dim), np.float32)
-    buf = np.frombuffer(payload, np.uint8)
     lib = _load_native()
     if lib is not None:
-        lib.bvsc_unpack(
+        rc = lib.bvsc_unpack(
             np.ascontiguousarray(buf).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.size,
             bits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             frames, z_dim, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
+        if rc < 0:  # defense in depth; the length check above already caught it
+            raise ValueError("payload too short for requested bit allocation")
         return out
     flat = np.unpackbits(buf, bitorder="little")
     out[:] = 0.5

@@ -174,7 +174,9 @@ def init_conv_params(
     kw, kb = jax.random.split(key)
     shape = (in_ch, out_ch, kernel) if transpose else (out_ch, in_ch, kernel)
     w = init_std * jax.random.normal(kw, shape, dtype)
-    fan_in = in_ch * kernel if not transpose else in_ch * kernel
+    # torch bias init uses weight.size(1)*k: in_ch*k for Conv1d, out_ch*k for
+    # ConvTranspose1d (whose weight is (in_ch, out_ch, k)).
+    fan_in = (out_ch if transpose else in_ch) * kernel
     bound = 1.0 / np.sqrt(fan_in)
     b = jax.random.uniform(kb, (out_ch,), dtype, -bound, bound)
     if not weight_norm:

@@ -39,13 +39,23 @@ def write_bvsc(path, codes: np.ndarray, bits_per_frame: int, fs: int) -> None:
 
 
 def read_bvsc(path):
-    from bvsc_tpu.ops.bitpack import unpack_codes
+    from bvsc_tpu.ops.bitpack import payload_nbytes, unpack_codes
 
     with open(path, "rb") as f:
-        assert f.read(4) == MAGIC, "not a BVSC bitstream"
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not a BVSC bitstream")
         version, z_dim, bits, fs, frames = struct.unpack("<BBHII", f.read(12))
-        assert version == VERSION
+        if version != VERSION:
+            raise ValueError(f"{path}: unsupported version {version}")
         payload = f.read()
+    # Validate the untrusted frame-count header against the actual payload
+    # size BEFORE allocating frames*z_dim floats (a crafted header could
+    # otherwise request multi-GB allocations / OOB reads downstream).
+    need = payload_nbytes(bits, frames, z_dim)
+    if len(payload) < need:
+        raise ValueError(
+            f"{path}: truncated payload ({len(payload)} B, header implies {need} B)"
+        )
     return unpack_codes(payload, bits, frames, z_dim), bits, fs
 
 

@@ -91,17 +91,30 @@ def test_forward_train_matches_at_deterministic_p(ref_model, jcfg, jparams, data
 
 
 def test_encode_decode_state_sync(jcfg, jparams, data):
-    """The streaming invariant: decode(h0=0) over encode's codes must see the
+    """The streaming invariant: decode(h0=0) over encode's codes sees the
     same hidden trajectory, so decode's output equals the decoder outputs the
-    encoder computed internally (reference bvrnn.py:204-206 / :226-227)."""
+    encoder computed internally (reference bvrnn.py:204-206 / :226-227).
+
+    Asserted directly: recompute the encoder-internal ``dec_t`` from the
+    codes and the pre-frame hidden states ``h_seq`` that encode returns
+    (the exact inputs encode fed its dec MLP) and require equality with
+    ``decode()``'s trajectory."""
     y, bits = data
-    z, _ = jbvrnn.encode(jparams, jcfg, jnp.asarray(y), jnp.asarray(bits),
-                         jnp.zeros((B, H_DIM)))
-    mel1, h1 = jbvrnn.decode(jparams, jcfg, z, jnp.zeros((B, H_DIM)))
-    # re-encoding the decoded signal is not identity, but decode must be
-    # deterministic and state-synced: run twice, same result
-    mel2, h2 = jbvrnn.decode(jparams, jcfg, z, jnp.zeros((B, H_DIM)))
-    np.testing.assert_array_equal(np.asarray(mel1), np.asarray(mel2))
+    h0 = jnp.zeros((B, H_DIM))
+    z, h_seq = jbvrnn.encode(jparams, jcfg, jnp.asarray(y), jnp.asarray(bits), h0)
+    phi_z = jbvrnn.phi_z_apply(jparams, z.astype(jcfg.dtype), jcfg.precision)
+    dec_enc = jbvrnn.dec_apply(
+        jparams,
+        jnp.concatenate([phi_z, h_seq.astype(jcfg.dtype)], -1),
+        jcfg.precision,
+    )
+    mel_dec, _ = jbvrnn.decode(jparams, jcfg, z, h0)
+    np.testing.assert_allclose(
+        np.asarray(mel_dec), np.asarray(dec_enc), atol=1e-6, rtol=0
+    )
+    # and decode itself is deterministic
+    mel2, _ = jbvrnn.decode(jparams, jcfg, z, h0)
+    np.testing.assert_array_equal(np.asarray(mel_dec), np.asarray(mel2))
 
 
 def test_chunked_encode_equals_oneshot(jcfg, jparams, data):

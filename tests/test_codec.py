@@ -148,3 +148,24 @@ def test_default_config_loads():
     assert conf.vocoder_config.upsample_rates == (8, 8, 2, 2)
     conf64 = CodecConfig.from_toml("configs/fixed64.toml")
     assert not conf64.var_bit
+
+
+def test_1d_input_promotion(small_codec_and_refs, rng):
+    """A 1-D waveform (the natural single-utterance call) is auto-promoted to
+    batch 1 and the batch axis squeezed from every result (ADVICE r1)."""
+    codec, _, _, conf = small_codec_and_refs
+    x = (rng.standard_normal(22050) * 0.3).astype(np.float32)
+    codes1 = np.asarray(codec.encode(x, 3000))
+    codes2 = np.asarray(codec.encode(x[None], 3000))
+    assert codes1.ndim == 2
+    np.testing.assert_array_equal(codes1, codes2[0])
+    y1 = np.asarray(codec.decode(codes1, x.shape[0]))
+    y2 = np.asarray(codec.decode(codes2, x.shape[0]))
+    assert y1.shape == (x.shape[0],)
+    np.testing.assert_array_equal(y1, y2[0])
+    out = np.asarray(codec(x, 3000))
+    assert out.shape == (x.shape[0],)
+    with pytest.raises(ValueError):
+        codec.encode(x[None, None], 3000)
+    with pytest.raises(ValueError):
+        codec.decode(codes1[None, None], 100)
