@@ -131,6 +131,9 @@ class BVRNNCodecModel:
             functools.partial(_decode_impl, bcfg=self.bvrnn_cfg),
             static_argnames=("vcfg", "length"),
         )
+        self._decode_mel_jit = jax.jit(
+            functools.partial(_decode_mel_impl, cfg=self.bvrnn_cfg)
+        )
 
     # -- helpers ------------------------------------------------------------
 
@@ -202,6 +205,23 @@ class BVRNNCodecModel:
         y = y[:, :length]
         return y[0] if squeeze else y
 
+    def decode_to_mel(self, codes) -> jax.Array:
+        """codes: (batch, frames, z_dim) -> decoded log-mel (batch, num_mels,
+        frames) — the mel the vocoder consumes (scaled domain; the −10 dB
+        SCALING is applied before the mel at encode and undone after the
+        vocoder).  This is the tensor the reference fine-tunes its vocoder on
+        (ckpt ``ftbvrnn``; reference ``meldataset.py:197-214`` consumes the
+        dumps).  2-D codes are auto-promoted/squeezed like :meth:`decode`."""
+        codes = _as_device_array(codes, jnp.float32)
+        squeeze = codes.ndim == 2
+        if squeeze:
+            codes = codes[None]
+        T = codes.shape[1]
+        Tp = self._pad_length(T * self.conf.hopsize) // self.conf.hopsize
+        codes_p = jnp.pad(codes, ((0, 0), (0, Tp - T), (0, 0)), constant_values=0.5)
+        mel = self._decode_mel_jit(self.bvrnn_params, codes_p)[..., :T]
+        return mel[0] if squeeze else mel
+
     def __call__(self, x, bitrate) -> jax.Array:
         """One-shot encode+decode (reference ``bvrnn_codec_model.py:73-76``)."""
         length = np.asarray(x).shape[-1]
@@ -231,6 +251,14 @@ def _encode_impl(params, x, bits_per_frame, *, cfg, frontend):
     h0 = jnp.zeros((B, cfg.h_dim), cfg.dtype)
     codes, _ = bvrnn_mod.encode_with_state(params, cfg, mel, bits, h0)
     return codes
+
+
+def _decode_mel_impl(params, codes, *, cfg):
+    """BVRNN decode only: codes (B, T, z) -> log-mel (B, M, T)."""
+    B = codes.shape[0]
+    h0 = jnp.zeros((B, cfg.h_dim), cfg.dtype)
+    mel, _ = bvrnn_mod.decode(params, cfg, codes, h0)
+    return jnp.swapaxes(mel, 1, 2)
 
 
 def _decode_impl(params, voc_params, codes, *, bcfg, vcfg, length):

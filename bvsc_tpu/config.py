@@ -55,6 +55,9 @@ class VocoderConfig:
     mpd_reshapes: tuple[int, ...] = (2, 3, 5, 7, 11)
     use_spectral_norm: bool = False
     discriminator_channel_mult: float = 1
+    # optional MRD-specific overrides (reference models.py:329-337)
+    mrd_use_spectral_norm: bool | None = None
+    mrd_channel_mult: float | None = None
 
     @property
     def total_upsample(self) -> int:

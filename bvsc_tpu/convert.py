@@ -174,14 +174,23 @@ def vocoder_params_from_torch(sd: Mapping[str, Any], cfg, dtype=np.float32) -> d
 
 
 def _wn_conv_unfolded(sd: Mapping[str, Any], prefix: str) -> dict:
-    """Weight-normed conv kept as {'g','v','b'} (training parameterisation)."""
+    """Weight-normed conv kept as {'g','v','b'} (training parameterisation),
+    or a spectral-normed conv as {'w_orig','b','sn_u','sn_v'} (torch
+    ``spectral_norm`` buffers, reference models.py:256) — auto-detected."""
     if f"{prefix}.weight_g" in sd:
         g, v = _np(sd[f"{prefix}.weight_g"]), _np(sd[f"{prefix}.weight_v"])
     elif f"{prefix}.parametrizations.weight.original0" in sd:
         g = _np(sd[f"{prefix}.parametrizations.weight.original0"])
         v = _np(sd[f"{prefix}.parametrizations.weight.original1"])
+    elif f"{prefix}.weight_orig" in sd:
+        return {
+            "w_orig": _np(sd[f"{prefix}.weight_orig"]).copy(),
+            "b": _np(sd[f"{prefix}.bias"]).copy(),
+            "sn_u": _np(sd[f"{prefix}.weight_u"]).copy(),
+            "sn_v": _np(sd[f"{prefix}.weight_v"]).copy(),
+        }
     else:
-        raise KeyError(f"no weight-norm params under {prefix}")
+        raise KeyError(f"no weight-norm/spectral-norm params under {prefix}")
     return {"g": g.copy(), "v": v.copy(), "b": _np(sd[f"{prefix}.bias"]).copy()}
 
 

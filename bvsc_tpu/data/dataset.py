@@ -72,6 +72,7 @@ class AudioSegmentDataset:
         fine_tuning: bool = False,
         base_mels_path: str | None = None,
         check_integrity: bool = True,
+        n_cache_reuse: int = 1,
     ):
         self.audio_files = list(audio_files)
         rng = random.Random(seed)
@@ -85,6 +86,15 @@ class AudioSegmentDataset:
         self.fine_tuning = fine_tuning
         self.base_mels_path = base_mels_path
         self._rng = np.random.default_rng(seed)
+        # wav cache (reference meldataset.py:145-171): serve the same decoded
+        # wav for n_cache_reuse consecutive fetches (different random crops),
+        # trading sample diversity for disk-read throughput.  1 = off.
+        # Disabled in fine_tuning mode: the cache is filename-agnostic and
+        # would pair file A's audio with file B's .npy mel (the reference has
+        # the same hazard; deliberately not replicated).
+        self.n_cache_reuse = 1 if fine_tuning else max(1, int(n_cache_reuse))
+        self._cached_wav: np.ndarray | None = None
+        self._cache_ref_count = 0
         if check_integrity:  # reference meldataset.py:152-154
             for f in self.audio_files:
                 assert os.path.exists(f), f"{f} not found"
@@ -93,12 +103,19 @@ class AudioSegmentDataset:
         return len(self.audio_files)
 
     def _load(self, filename: str) -> np.ndarray:
+        if self._cache_ref_count > 0 and self._cached_wav is not None:
+            self._cache_ref_count -= 1
+            return self._cached_wav
         audio, sr = load_wav(filename, self.sampling_rate)
         if audio.ndim > 1:
             audio = audio[:, 0]
         if self.normalize and not self.fine_tuning:
             audio = peak_normalize(audio) * 0.95  # reference meldataset.py:163
-        return audio.astype(np.float32)
+        audio = audio.astype(np.float32)
+        if self.n_cache_reuse > 1:
+            self._cached_wav = audio
+            self._cache_ref_count = self.n_cache_reuse - 1
+        return audio
 
     def __getitem__(self, index: int):
         filename = self.audio_files[index]

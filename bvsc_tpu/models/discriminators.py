@@ -10,9 +10,11 @@ Functional JAX re-creation of the reference discriminators
     convs; one per ``resolutions`` = [[1024,120,600], [2048,240,1200],
     [512,50,240]].
 
-All convolutions are weight-normed ({'g','v'} params; the reference's
-``use_spectral_norm`` option is false in every shipped config and is not
-re-implemented — constructing with it raises).  Returns (logits, fmap) per
+Convolutions are weight-normed ({'g','v'} params) by default, or
+spectral-normed ({'w_orig','b','sn_u','sn_v'}) when ``use_spectral_norm``
+is set (reference ``models.py:256``); the MRD additionally honors the
+``mrd_use_spectral_norm`` / ``mrd_channel_mult`` overrides
+(reference ``models.py:329-337``).  Returns (logits, fmap) per
 sub-discriminator, matching the reference's (y_d_rs, y_d_gs, fmap_rs,
 fmap_gs) contract via :func:`mpd_apply` / :func:`mrd_apply` on (y, y_hat).
 """
@@ -36,14 +38,16 @@ LRELU_SLOPE = 0.1  # reference models.py:23
 
 def init_discriminator_p_params(key, cfg: VocoderConfig, dtype=jnp.float32):
     d = cfg.discriminator_channel_mult
+    sn = cfg.use_spectral_norm
     chans = [1, int(32 * d), int(128 * d), int(512 * d), int(1024 * d), int(1024 * d)]
     keys = jax.random.split(key, 6)
     convs = [
         init_conv2d_params(keys[i], chans[i + 1], chans[i], (5, 1),
-                           weight_norm=True, dtype=dtype)
+                           weight_norm=not sn, spectral_norm=sn, dtype=dtype)
         for i in range(5)
     ]
-    post = init_conv2d_params(keys[5], 1, chans[5], (3, 1), weight_norm=True, dtype=dtype)
+    post = init_conv2d_params(keys[5], 1, chans[5], (3, 1),
+                              weight_norm=not sn, spectral_norm=sn, dtype=dtype)
     return {"convs": convs, "conv_post": post}
 
 
@@ -69,8 +73,6 @@ def discriminator_p_apply(params, x: jax.Array, period: int):
 
 
 def init_mpd_params(key, cfg: VocoderConfig, dtype=jnp.float32):
-    if cfg.use_spectral_norm:
-        raise NotImplementedError("spectral_norm discriminators not supported")
     keys = jax.random.split(key, len(cfg.mpd_reshapes))
     return [init_discriminator_p_params(k, cfg, dtype) for k in keys]
 
@@ -94,19 +96,31 @@ def mpd_apply(params, cfg: VocoderConfig, y: jax.Array, y_hat: jax.Array):
 # ---------------------------------------------------------------------------
 
 
+def _mrd_spectral_norm(cfg: VocoderConfig) -> bool:
+    """MRD norm choice honoring the mrd_use_spectral_norm override
+    (reference models.py:329-333)."""
+    if cfg.mrd_use_spectral_norm is not None:
+        return cfg.mrd_use_spectral_norm
+    return cfg.use_spectral_norm
+
+
 def init_discriminator_r_params(key, cfg: VocoderConfig, dtype=jnp.float32):
-    d = cfg.discriminator_channel_mult
+    # mrd_channel_mult override (reference models.py:334-337)
+    d = (cfg.mrd_channel_mult if cfg.mrd_channel_mult is not None
+         else cfg.discriminator_channel_mult)
+    sn = _mrd_spectral_norm(cfg)
     c = int(32 * d)
     keys = jax.random.split(key, 6)
+    kw = dict(weight_norm=not sn, spectral_norm=sn, dtype=dtype)
     return {
         "convs": [
-            init_conv2d_params(keys[0], c, 1, (3, 9), weight_norm=True, dtype=dtype),
-            init_conv2d_params(keys[1], c, c, (3, 9), weight_norm=True, dtype=dtype),
-            init_conv2d_params(keys[2], c, c, (3, 9), weight_norm=True, dtype=dtype),
-            init_conv2d_params(keys[3], c, c, (3, 9), weight_norm=True, dtype=dtype),
-            init_conv2d_params(keys[4], c, c, (3, 3), weight_norm=True, dtype=dtype),
+            init_conv2d_params(keys[0], c, 1, (3, 9), **kw),
+            init_conv2d_params(keys[1], c, c, (3, 9), **kw),
+            init_conv2d_params(keys[2], c, c, (3, 9), **kw),
+            init_conv2d_params(keys[3], c, c, (3, 9), **kw),
+            init_conv2d_params(keys[4], c, c, (3, 3), **kw),
         ],
-        "conv_post": init_conv2d_params(keys[5], 1, c, (3, 3), weight_norm=True, dtype=dtype),
+        "conv_post": init_conv2d_params(keys[5], 1, c, (3, 3), **kw),
     }
 
 
@@ -158,8 +172,6 @@ def discriminator_r_apply_mag(params, mag: jax.Array):
 
 
 def init_mrd_params(key, cfg: VocoderConfig, dtype=jnp.float32):
-    if cfg.use_spectral_norm:
-        raise NotImplementedError("spectral_norm discriminators not supported")
     keys = jax.random.split(key, len(cfg.resolutions))
     return [init_discriminator_r_params(k, cfg, dtype) for k in keys]
 

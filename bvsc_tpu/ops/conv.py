@@ -28,10 +28,101 @@ def fold_weight_norm(g: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def conv_weight(p: dict) -> jax.Array:
-    """Materialise the conv weight from either folded or weight-normed params."""
+    """Materialise the conv weight from folded, weight-normed, or
+    spectral-normed params."""
     if "w" in p:
         return p["w"]
+    if "w_orig" in p:
+        return spectral_norm_weight(p)
     return fold_weight_norm(p["g"], p["v"])
+
+
+# ---------------------------------------------------------------------------
+# Spectral normalisation (torch.nn.utils.spectral_norm semantics)
+# ---------------------------------------------------------------------------
+#
+# The reference's discriminators offer ``use_spectral_norm`` /
+# ``mrd_use_spectral_norm`` (reference ``models.py:256,329-333``).  torch
+# keeps the raw weight as ``weight_orig`` plus two power-iteration buffers
+# ``weight_u`` / ``weight_v`` and divides by sigma = u . (W_mat v) each
+# forward, updating (v, u) once per training forward.  Functionally here:
+# params carry {'w_orig', 'b', 'sn_u', 'sn_v'}; :func:`spectral_norm_weight`
+# computes W/sigma treating the buffers as constants (stop_gradient), and
+# the trainer calls :func:`spectral_norm_power_iteration` once per
+# discriminator step (torch: once per train-mode forward).
+
+_SN_EPS = 1e-12  # torch.nn.functional.normalize default eps
+
+
+def _l2_normalize(x: jax.Array) -> jax.Array:
+    return x / jnp.maximum(jnp.linalg.norm(x), _SN_EPS)
+
+
+def spectral_norm_weight(p: dict) -> jax.Array:
+    """w_orig / sigma with sigma = u . (W_mat v) from the stored buffers
+    (torch eval-mode compute_weight)."""
+    w = p["w_orig"]
+    w_mat = w.reshape(w.shape[0], -1)
+    u = jax.lax.stop_gradient(p["sn_u"])
+    v = jax.lax.stop_gradient(p["sn_v"])
+    sigma = u @ (w_mat @ v)
+    return w / sigma
+
+
+def _power_iterate_one(p: dict, n_iterations: int = 1) -> dict:
+    w_mat = jax.lax.stop_gradient(p["w_orig"]).reshape(p["w_orig"].shape[0], -1)
+    u, v = p["sn_u"], p["sn_v"]
+    for _ in range(n_iterations):
+        v = _l2_normalize(w_mat.T @ u)
+        u = _l2_normalize(w_mat @ v)
+    return {**p, "sn_u": u, "sn_v": v}
+
+
+def spectral_norm_power_iteration(tree, n_iterations: int = 1):
+    """Return ``tree`` with one torch-style power-iteration update applied to
+    every spectral-normed conv param dict (detected by the 'w_orig' key)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w_orig" in node:
+                return _power_iterate_one(node, n_iterations)
+            return {k: walk(x) for k, x in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(x) for x in node)
+        return node
+
+    return walk(tree)
+
+
+def tree_has_spectral_norm(tree) -> bool:
+    found = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w_orig" in node:
+                found.append(True)
+            for x in node.values():
+                walk(x)
+        elif isinstance(node, (list, tuple)):
+            for x in node:
+                walk(x)
+
+    walk(tree)
+    return bool(found)
+
+
+def spectral_norm_trainable_mask(tree):
+    """Bool pytree: False on the 'sn_u'/'sn_v' power-iteration buffers (they
+    are torch *buffers*, not parameters — the optimizer must not touch
+    them), True everywhere else."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not (
+            path
+            and isinstance(path[-1], jax.tree_util.DictKey)
+            and path[-1].key in ("sn_u", "sn_v")
+        ),
+        tree,
+    )
 
 
 def pad1d(x: jax.Array, left: int, right: int = 0, mode: str = "constant") -> jax.Array:
@@ -139,16 +230,22 @@ def init_conv2d_params(
     kernel: tuple[int, int],
     *,
     weight_norm: bool = False,
+    spectral_norm: bool = False,
     dtype=jnp.float32,
 ) -> dict:
     """torch Conv2d default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
     import numpy as np
 
-    kw, kb = jax.random.split(key)
+    kw, kb, ku, kv = jax.random.split(key, 4)
     fan_in = in_ch * kernel[0] * kernel[1]
     bound = 1.0 / np.sqrt(fan_in)
     w = jax.random.uniform(kw, (out_ch, in_ch, *kernel), dtype, -bound, bound)
     b = jax.random.uniform(kb, (out_ch,), dtype, -bound, bound)
+    if spectral_norm:
+        # torch spectral_norm init: u/v = normalize(randn) buffers
+        u = _l2_normalize(jax.random.normal(ku, (out_ch,), dtype))
+        v = _l2_normalize(jax.random.normal(kv, (in_ch * kernel[0] * kernel[1],), dtype))
+        return {"w_orig": w, "b": b, "sn_u": u, "sn_v": v}
     if not weight_norm:
         return {"w": w, "b": b}
     axes = tuple(range(1, w.ndim))

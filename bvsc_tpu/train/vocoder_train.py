@@ -34,6 +34,10 @@ from bvsc_tpu.config import VocoderConfig
 from bvsc_tpu.models import vocoder as voc_mod
 from bvsc_tpu.models.discriminators import init_mpd_params, init_mrd_params, mpd_apply, mrd_apply
 from bvsc_tpu.models.losses import discriminator_loss, feature_loss, generator_loss
+from bvsc_tpu.ops.conv import (
+    spectral_norm_power_iteration,
+    spectral_norm_trainable_mask,
+)
 from bvsc_tpu.ops.mel import MelFrontend
 from bvsc_tpu.parallel.mesh import batch_sharded, make_mesh, replicated
 
@@ -147,7 +151,11 @@ def make_gan_train_step(tcfg: GANTrainConfig, vcfg: VocoderConfig, opt_g, opt_d)
         y_hat_sg = jax.lax.stop_gradient(
             voc_mod.generator_apply(state.gen, vcfg, mel_in, y.shape[-1])
         )
-        d_params = {"mpd": state.mpd, "mrd": state.mrd}
+        # one torch-style power iteration per training forward updates the
+        # spectral-norm u/v buffers (no-op for weight-normed params)
+        d_params = spectral_norm_power_iteration(
+            {"mpd": state.mpd, "mrd": state.mrd}
+        )
         (d_loss, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             d_params, y, y_hat_sg
         )
@@ -331,12 +339,30 @@ def make_split_gan_programs(tcfg: GANTrainConfig, vcfg: VocoderConfig, opt_g, op
 
 def _make_optimizer(tcfg: GANTrainConfig):
     """AdamW (torch default weight_decay 0.01) + clip, lr injected so the
-    per-epoch ExponentialLR schedule can be driven from the host."""
+    per-epoch ExponentialLR schedule can be driven from the host.
+
+    Spectral-norm power-iteration buffers (sn_u/sn_v) are torch *buffers*,
+    not parameters: their updates are zeroed so only
+    :func:`spectral_norm_power_iteration` ever moves them (in particular
+    AdamW's weight decay must not shrink them)."""
+
+    def _zero_sn_updates(updates, state, params=None):
+        del params
+        mask = spectral_norm_trainable_mask(updates)
+        return (
+            jax.tree.map(
+                lambda u, keep: u if keep else jnp.zeros_like(u), updates, mask
+            ),
+            state,
+        )
+
     return optax.inject_hyperparams(
         lambda learning_rate: optax.chain(
             optax.clip_by_global_norm(tcfg.grad_clip),
             optax.adamw(learning_rate, b1=tcfg.adam_b1, b2=tcfg.adam_b2,
                         weight_decay=0.01),
+            optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                         _zero_sn_updates),
         )
     )(learning_rate=tcfg.learning_rate)
 
@@ -432,9 +458,22 @@ class VocoderGANTrainer:
 
     def _step_split(self, mel, y, y_mel) -> dict:
         """Per-discriminator program decomposition (see
-        make_split_gan_programs); same math as the two-program step."""
+        make_split_gan_programs); same math as the two-program step.
+
+        All per-program scalar losses are accumulated ON DEVICE and read
+        back in ONE transfer at the end — each ``float()`` here would be a
+        full device round-trip (~ms on tunneled links)."""
         length = y.shape[-1]
         y_hat = jax.lax.stop_gradient(self._gen_fwd(self.state.gen, mel, length))
+
+        # spectral-norm buffer power iteration (no-op for weight norm)
+        st = self.state
+        self.state = GANTrainState(
+            st.gen,
+            spectral_norm_power_iteration(st.mpd),
+            spectral_norm_power_iteration(st.mrd),
+            st.opt_g, st.opt_d, st.step,
+        )
 
         # MRD operates on magnitudes computed in their own programs
         mags_r = [self._mrd_spec(y, idx=i)
@@ -444,45 +483,55 @@ class VocoderGANTrainer:
 
         # ---- D: independent grads per sub-discriminator ----
         d_grads = {"mpd": [], "mrd": []}
-        d_loss_f = d_loss_s = 0.0
+        d_loss_f = jnp.zeros(())
+        d_loss_s = jnp.zeros(())
         for i in range(len(self.vcfg.mpd_reshapes)):
             l, g = self._d_grads_one(self.state.mpd[i], y, y_hat, kind="mpd", idx=i)
-            d_loss_f += float(l)
+            d_loss_f = d_loss_f + l
             d_grads["mpd"].append(g)
         for i in range(len(self.vcfg.resolutions)):
             l, g = self._d_grads_one(self.state.mrd[i], mags_r[i], mags_g[i],
                                      kind="mrd", idx=i)
-            d_loss_s += float(l)
+            d_loss_s = d_loss_s + l
             d_grads["mrd"].append(g)
         self.state = self._d_update(self.state, d_grads)
 
         # ---- G: cotangent accumulation against the updated D ----
         cot = jnp.zeros_like(y_hat)
-        adv_tot = fm_tot = 0.0
+        adv_tot = jnp.zeros(())
+        fm_tot = jnp.zeros(())
         for i in range(len(self.vcfg.mpd_reshapes)):
             fmap_r = self._disc_fmaps(self.state.mpd[i], y, kind="mpd", idx=i)
             _, (adv, fm), c = self._g_cot_one(self.state.mpd[i], fmap_r, y_hat,
                                               kind="mpd", idx=i)
             cot = cot + c
-            adv_tot += float(adv)
-            fm_tot += float(fm)
+            adv_tot = adv_tot + adv
+            fm_tot = fm_tot + fm
         for i in range(len(self.vcfg.resolutions)):
             fmap_r = self._disc_fmaps(self.state.mrd[i], mags_r[i],
                                       kind="mrd", idx=i)
             _, (adv, fm), c_mag = self._g_cot_one(self.state.mrd[i], fmap_r,
                                                   mags_g[i], kind="mrd", idx=i)
             cot = cot + self._mrd_spec_vjp(y_hat, c_mag, idx=i)
-            adv_tot += float(adv)
-            fm_tot += float(fm)
+            adv_tot = adv_tot + adv
+            fm_tot = fm_tot + fm
         self.state, g_metrics = self._g_update(self.state, mel, y_mel, cot, length)
-        g_metrics = dict(g_metrics)
-        g_metrics.update(
-            disc_loss_mpd=d_loss_f, disc_loss_mrd=d_loss_s,
-            gen_adv_loss=adv_tot, fm_loss=fm_tot,
-            gen_loss_total=float(g_metrics["mel_spec_error"])
-            * self.tcfg.mel_loss_weight + adv_tot + fm_tot,
-        )
-        return g_metrics
+
+        # one host readback for every scalar of the step
+        packed = np.asarray(jnp.stack([
+            d_loss_f, d_loss_s, adv_tot, fm_tot,
+            g_metrics["mel_spec_error"], g_metrics["grad_norm_g"],
+        ]))
+        d_f, d_s, adv_v, fm_v, mel_err, gnorm = (float(x) for x in packed)
+        return {
+            "mel_spec_error": mel_err,
+            "grad_norm_g": gnorm,
+            "disc_loss_mpd": d_f,
+            "disc_loss_mrd": d_s,
+            "gen_adv_loss": adv_v,
+            "fm_loss": fm_v,
+            "gen_loss_total": mel_err * self.tcfg.mel_loss_weight + adv_v + fm_v,
+        }
 
     @property
     def generator_params_folded(self):

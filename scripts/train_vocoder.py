@@ -42,6 +42,11 @@ def parse_args(argv=None):
     p.add_argument("--validation_interval", type=int, default=50000)
     p.add_argument("--freeze_step", type=int, default=0)
     p.add_argument("--fine_tuning", action="store_true")
+    p.add_argument("--audio_scale", type=float, default=None,
+                   help="multiply target audio by this; defaults to the "
+                        "codec's -10 dB SCALING in --fine_tuning mode (the "
+                        "dumped mels live in the scaled domain, see "
+                        "scripts/dump_finetune_mels.py), else 1.0")
     p.add_argument("--debug", action="store_true", help="skip validation")
     p.add_argument("--evaluate", action="store_true", help="validate and exit")
     p.add_argument("--batch_size", type=int, default=None)
@@ -180,6 +185,12 @@ def main(argv=None):
         validate(int(trainer.state.step))
         return
 
+    from bvsc_tpu.codec import SCALING
+
+    audio_scale = args.audio_scale
+    if audio_scale is None:
+        audio_scale = SCALING if args.fine_tuning else 1.0
+
     steps = int(trainer.state.step)
     batches = trainset.batches(tcfg.batch_size)
     steps_per_epoch = max(1, len(trainset) // tcfg.batch_size)
@@ -187,7 +198,7 @@ def main(argv=None):
     for audio, mel_ft in batches:
         epoch = steps // steps_per_epoch
         trainer.set_epoch(epoch)
-        y = shard_batch(mesh, jnp.asarray(audio))
+        y = shard_batch(mesh, jnp.asarray(audio * audio_scale))
         mel_in = None
         if mel_ft is not None:
             mel_in = shard_batch(mesh, jnp.asarray(mel_ft))

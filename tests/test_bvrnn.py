@@ -47,6 +47,7 @@ def data():
     return y, bits
 
 
+@pytest.mark.slow
 def test_encode_codes_bitexact(ref_model, jcfg, jparams, data):
     y, bits = data
     with torch.no_grad():
@@ -168,6 +169,7 @@ def test_param_count_matches_reference_scale():
     assert 23.3e6 < n < 23.6e6, n
 
 
+@pytest.mark.slow
 def test_grads_flow_through_straight_through(jcfg, jparams, data):
     y, bits = data
 

@@ -113,3 +113,66 @@ def test_mushra_filtering_rule():
     ref_stats = condition_stats(load_ratings())
     for cond in stats:
         assert abs(stats[cond]["mean"] - ref_stats[cond]["mean"]) < 0.05, cond
+
+
+def test_dump_finetune_mels_roundtrip(wav_dir, tmp_path):
+    """The fine-tuning mel dump (reference ckpt 'ftbvrnn'; its producer was
+    never published) must write (num_mels, frames) .npy files the dataset's
+    fine_tuning mode can crop consistently with the audio."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from dump_finetune_mels import dump_mels
+
+    from bvsc_tpu.codec import BVRNNCodecModel
+    from bvsc_tpu.config import CodecConfig
+    from test_vocoder import tiny_cfg
+
+    _, paths = wav_dir
+    conf = CodecConfig(
+        num_mels=8, h_dim=16, z_dim=8,
+        vocoder_config=tiny_cfg(num_mels=8, upsample_rates=(32, 8),
+                                upsample_kernel_sizes=(64, 16),
+                                layers_sym=(False, False),
+                                layers_antialias=(False, False)),
+    )
+    codec = BVRNNCodecModel(config=conf, length_bucket=8)
+    out_dir = str(tmp_path / "mels")
+    written = dump_mels(codec, paths[:2], out_dir, 3000, verbose=False)
+    assert len(written) == 2
+    for p, wav_path in zip(written, paths[:2]):
+        mel = np.load(p)
+        wav, _ = load_wav(wav_path, conf.fs)
+        assert mel.shape == (conf.num_mels, wav.shape[0] // conf.hopsize)
+        assert np.isfinite(mel).all()
+
+    # the fine-tuning dataset consumes them: aligned (audio, mel) crops
+    ds = AudioSegmentDataset(paths[:2], 8192, 22050, 256, fine_tuning=True,
+                             base_mels_path=out_dir, seed=0, shuffle=False)
+    audio, mel, _ = ds[0]
+    assert audio.shape == (8192,)
+    assert mel.shape == (conf.num_mels, 8192 // 256)
+
+    # per-utterance random bitrates draw within range
+    written2 = dump_mels(codec, paths[2:3], str(tmp_path / "mels2"), 0,
+                         random_bitrate=(1378.0, 5512.0), verbose=False)
+    assert len(written2) == 1
+
+
+def test_wav_cache_reuse(wav_dir):
+    """n_cache_reuse (reference meldataset.py:145-171): the same decoded wav
+    serves N consecutive fetches, then the next file is read."""
+    _, paths = wav_dir
+    ds = AudioSegmentDataset(paths, 8192, 22050, 256, seed=0, shuffle=False,
+                             split=False, n_cache_reuse=3)
+    a0 = ds._load(paths[0])
+    a1 = ds._load(paths[1])  # served from cache (= file 0's audio)
+    a2 = ds._load(paths[1])  # cache again
+    a3 = ds._load(paths[1])  # cache exhausted -> real read of file 1
+    np.testing.assert_array_equal(a0, a1)
+    np.testing.assert_array_equal(a0, a2)
+    assert a3.shape != a0.shape or np.abs(a3 - a0).max() > 0
+    # fine_tuning disables the cache
+    ds_ft = AudioSegmentDataset(paths, 8192, 22050, 256, fine_tuning=True,
+                                base_mels_path=".", seed=0, n_cache_reuse=5)
+    assert ds_ft.n_cache_reuse == 1

@@ -28,14 +28,18 @@ def disc_cfg(**overrides) -> VocoderConfig:
 def build_ref_discs(cfg: VocoderConfig, seed=0):
     models, env = import_reference_bigvgan()
     torch.manual_seed(seed)
-    h = env.AttrDict(
-        dict(
-            mpd_reshapes=list(cfg.mpd_reshapes),
-            resolutions=[list(r) for r in cfg.resolutions],
-            use_spectral_norm=cfg.use_spectral_norm,
-            discriminator_channel_mult=cfg.discriminator_channel_mult,
-        )
+    d = dict(
+        mpd_reshapes=list(cfg.mpd_reshapes),
+        resolutions=[list(r) for r in cfg.resolutions],
+        use_spectral_norm=cfg.use_spectral_norm,
+        discriminator_channel_mult=cfg.discriminator_channel_mult,
     )
+    # the reference gates these overrides on hasattr (models.py:329-337)
+    if cfg.mrd_use_spectral_norm is not None:
+        d["mrd_use_spectral_norm"] = cfg.mrd_use_spectral_norm
+    if cfg.mrd_channel_mult is not None:
+        d["mrd_channel_mult"] = cfg.mrd_channel_mult
+    h = env.AttrDict(d)
     mpd = models.MultiPeriodDiscriminator(h)
     mrd = models.MultiResolutionDiscriminator(h)
     mpd.eval(), mrd.eval()
@@ -61,6 +65,7 @@ def test_mpd_parity(rng):
             np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_mrd_parity(rng):
     cfg = disc_cfg()
     _, mrd_ref = build_ref_discs(cfg)
@@ -75,6 +80,128 @@ def test_mrd_parity(rng):
     for fa, fb in zip(fr, fr_ref):
         for a, b in zip(fa, fb):
             np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=2e-4)
+
+
+def _assert_close_scaled(a, b, tol=2e-4):
+    """Tolerance scaled by the tensor magnitude: freshly-initialised
+    spectral-norm layers have sigma << true spectral norm (u/v are random),
+    so outputs reach ~1e10 and only relative agreement is meaningful."""
+    a, b = np.asarray(a), np.asarray(b)
+    scale = max(np.abs(b).max(), 1.0)
+    np.testing.assert_allclose(a, b, atol=tol * scale, rtol=0)
+
+
+@pytest.mark.slow
+def test_mpd_spectral_norm_parity(rng):
+    """use_spectral_norm=True (reference models.py:256): eval-mode outputs
+    use the stored u/v buffers — converted params must match exactly."""
+    cfg = disc_cfg(use_spectral_norm=True)
+    mpd_ref, mrd_ref = build_ref_discs(cfg)
+    params = mpd_params_from_torch(mpd_ref.state_dict(), cfg)
+    y = rng.standard_normal((2, 1, 2000)).astype(np.float32) * 0.3
+    yh = rng.standard_normal((2, 1, 2000)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        r_ref, g_ref, _, _ = mpd_ref(torch.from_numpy(y), torch.from_numpy(yh))
+    r, g, _, _ = mpd_apply(params, cfg, jnp.asarray(y), jnp.asarray(yh))
+    for a, b in zip(r, r_ref):
+        _assert_close_scaled(a, b.flatten(1).numpy())
+    for a, b in zip(g, g_ref):
+        _assert_close_scaled(a, b.flatten(1).numpy())
+    # MRD inherits use_spectral_norm when no override is present
+    mrd_params = mrd_params_from_torch(mrd_ref.state_dict(), cfg)
+    assert "w_orig" in mrd_params[0]["convs"][0]
+    rs, _, _, _ = mrd_apply(mrd_params, cfg, jnp.asarray(y), jnp.asarray(yh))
+    with torch.no_grad():
+        rs_ref, _, _, _ = mrd_ref(torch.from_numpy(y), torch.from_numpy(yh))
+    for a, b in zip(rs, rs_ref):
+        _assert_close_scaled(a, b.flatten(1).numpy())
+
+
+@pytest.mark.slow
+def test_mrd_spectral_norm_override_parity(rng):
+    """mrd_use_spectral_norm / mrd_channel_mult overrides
+    (reference models.py:329-337): MPD stays weight-normed, MRD goes
+    spectral with its own channel multiplier."""
+    cfg = disc_cfg(use_spectral_norm=False, mrd_use_spectral_norm=True,
+                   mrd_channel_mult=0.5)
+    mpd_ref, mrd_ref = build_ref_discs(cfg)
+    mpd_params = mpd_params_from_torch(mpd_ref.state_dict(), cfg)
+    mrd_params = mrd_params_from_torch(mrd_ref.state_dict(), cfg)
+    assert "g" in mpd_params[0]["convs"][0]       # weight norm
+    assert "w_orig" in mrd_params[0]["convs"][0]  # spectral norm
+    y = rng.standard_normal((2, 1, 2000)).astype(np.float32) * 0.3
+    yh = rng.standard_normal((2, 1, 2000)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        r_ref, g_ref, _, _ = mrd_ref(torch.from_numpy(y), torch.from_numpy(yh))
+    r, g, _, _ = mrd_apply(mrd_params, cfg, jnp.asarray(y), jnp.asarray(yh))
+    for a, b in zip(r, r_ref):
+        _assert_close_scaled(a, b.flatten(1).numpy())
+    for a, b in zip(g, g_ref):
+        _assert_close_scaled(a, b.flatten(1).numpy())
+
+
+@pytest.mark.slow
+def test_spectral_norm_power_iteration_matches_torch(rng):
+    """One train-mode torch forward = one power iteration on (v, u) then
+    sigma from the updated buffers; our functional update must agree."""
+    from bvsc_tpu.models.discriminators import discriminator_p_apply
+    from bvsc_tpu.ops.conv import spectral_norm_power_iteration
+
+    cfg = disc_cfg(use_spectral_norm=True)
+    mpd_ref, _ = build_ref_discs(cfg)
+    sub = mpd_ref.discriminators[0]
+    params0 = mpd_params_from_torch(mpd_ref.state_dict(), cfg)[0]
+    y = rng.standard_normal((2, 1, 2000)).astype(np.float32) * 0.3
+
+    sub.train()
+    with torch.no_grad():
+        out_ref, _ = sub(torch.from_numpy(y))
+    params1 = spectral_norm_power_iteration(params0)
+    out, _ = discriminator_p_apply(params1, jnp.asarray(y), cfg.mpd_reshapes[0])
+    _assert_close_scaled(out, out_ref.flatten(1).numpy())
+    # the buffers themselves advanced identically
+    sd = sub.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(params1["convs"][0]["sn_u"]), sd["convs.0.weight_u"].numpy(),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params1["convs"][0]["sn_v"]), sd["convs.0.weight_v"].numpy(),
+        atol=1e-6,
+    )
+
+
+@pytest.mark.slow
+def test_gan_train_step_smoke_spectral_norm(rng):
+    """The trainer must train spectral-normed discriminators: buffers move
+    only via power iteration (stay unit-norm, untouched by AdamW decay)."""
+    from bvsc_tpu.parallel.mesh import make_mesh, shard_batch
+    from bvsc_tpu.train.vocoder_train import GANTrainConfig, VocoderGANTrainer
+
+    cfg = disc_cfg(num_mels=8, upsample_initial_channel=8,
+                   upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                   resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 2),),
+                   layers_sym=(False, False), layers_antialias=(False, False),
+                   use_spectral_norm=True, mpd_reshapes=(2,),
+                   resolutions=((64, 16, 32), (128, 32, 64), (64, 32, 64)))
+    tcfg = GANTrainConfig(segment_size=512, batch_size=4, hop_size=8,
+                          n_fft=64, win_size=64, mel_pad_left=16,
+                          fmax=4000.0, freeze_step=0)
+    mesh = make_mesh(4)
+    trainer = VocoderGANTrainer(cfg, tcfg, mesh=mesh)
+    y = (rng.standard_normal((4, tcfg.segment_size)) * 0.3).astype(np.float32)
+    y = shard_batch(mesh, jnp.asarray(y))
+
+    u0 = np.asarray(trainer.state.mpd[0]["convs"][0]["sn_u"]).copy()
+    w0 = np.asarray(trainer.state.mpd[0]["convs"][0]["w_orig"]).copy()
+    m1 = trainer.step_on_audio(y)
+    m2 = trainer.step_on_audio(y)
+    assert np.isfinite(m2["gen_loss_total"]) and np.isfinite(m2["disc_loss_mpd"])
+    u2 = np.asarray(trainer.state.mpd[0]["convs"][0]["sn_u"])
+    w2 = np.asarray(trainer.state.mpd[0]["convs"][0]["w_orig"])
+    assert np.abs(w2 - w0).max() > 0, "spectral-normed weight did not train"
+    np.testing.assert_allclose(np.linalg.norm(u2), 1.0, atol=1e-5)
+    assert np.abs(u2 - u0).max() > 0, "power iteration did not advance u"
 
 
 def test_gan_losses_match_reference_formulas(rng):
@@ -133,6 +260,7 @@ def test_gan_train_step_smoke(rng):
     assert np.isfinite(float(m3["gen_loss_total"]))
 
 
+@pytest.mark.slow
 def test_mrstft_loss_sane(rng):
     from bvsc_tpu.ops.stft_loss import multi_resolution_stft_loss
 
@@ -145,6 +273,7 @@ def test_mrstft_loss_sane(rng):
     assert other > same + 0.5
 
 
+@pytest.mark.slow
 def test_split_programs_match_two_program_step(rng):
     """The per-discriminator decomposition must produce the same updates as
     the fused two-program step."""

@@ -50,6 +50,7 @@ def test_logmel_matches_torch(rng, use_matmul_dft):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_frame_count():
     fe = MelFrontend()
     # reference: padded length L + 768, frames = 1 + (L + 768 - 1024)//256

@@ -1,6 +1,7 @@
 """Weight-only int8 quantization tests (ops.quant)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +28,7 @@ def test_dequant_matmul_close(rng):
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_quantized_bvrnn_codes_mostly_agree(rng):
     cfg = M.BVRNNConfig(x_dim=16, h_dim=48, z_dim=12)
     params = M.init_bvrnn_params(jax.random.key(0), cfg)
@@ -47,6 +49,7 @@ def test_quantized_bvrnn_codes_mostly_agree(rng):
     assert rel < 0.2, rel
 
 
+@pytest.mark.slow
 def test_codec_int8_option(rng):
     from bvsc_tpu.codec import BVRNNCodecModel
     from test_codec import small_conf

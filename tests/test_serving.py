@@ -15,6 +15,7 @@ def codec():
     return BVRNNCodecModel(config=small_conf(), seed=3, length_bucket=16)
 
 
+@pytest.mark.slow
 def test_engine_matches_streaming_codec(codec, rng):
     """One engine slot must behave exactly like a dedicated StreamingCodec."""
     L = 256 * 12 + 768
@@ -182,6 +183,7 @@ def test_bitpack_payload_rate():
     assert abs(bps - 3014.6) < 1.0
 
 
+@pytest.mark.slow
 def test_engine_sharded_over_mesh_matches_unsharded(codec, rng):
     """Multi-chip serving: batch sharded over an 8-device mesh gives the
     same codes as single-device serving."""

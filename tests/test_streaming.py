@@ -22,6 +22,7 @@ def codec():
     return BVRNNCodecModel(config=small_conf(), seed=3, length_bucket=16)
 
 
+@pytest.mark.slow
 def test_streaming_vocoder_equals_oneshot():
     cfg = small_conf().vocoder_config
     params = jvoc.init_generator_params(jax.random.key(0), cfg, weight_norm=False)
@@ -53,6 +54,7 @@ def test_streaming_vocoder_rejects_noncausal():
         generator_stream_init(sym, 1)
 
 
+@pytest.mark.slow
 def test_streaming_encoder_equals_oneshot(codec, rng):
     L = 256 * 40
     x = (rng.standard_normal((1, L)) * 0.3).astype(np.float32)

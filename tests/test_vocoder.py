@@ -86,6 +86,7 @@ def test_generator_parity(overrides):
     np.testing.assert_allclose(y, y_ref, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_full_size_param_count():
     """Shipped config must land on the documented ~0.96 M params
     (reference LFS pointer: 3,859,834 B fp32)."""
@@ -95,6 +96,7 @@ def test_full_size_param_count():
     assert 0.90e6 < n < 1.0e6, n
 
 
+@pytest.mark.slow
 def test_causality_of_generator():
     """Causal config: output[t] must not depend on mel frames > t//256."""
     cfg = tiny_cfg()
@@ -112,6 +114,7 @@ def test_causality_of_generator():
     assert np.abs(y1[..., 12 * up :] - y2[..., 12 * up :]).max() > 0
 
 
+@pytest.mark.slow
 def test_weight_norm_training_params_match_folded():
     cfg = tiny_cfg()
     params_wn = jvoc.init_generator_params(jax.random.key(2), cfg, weight_norm=True)
@@ -197,6 +200,7 @@ def test_alias_free_resample_matches_torch(rng):
         np.testing.assert_allclose(yd, yd_ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_folded_fast_path_equals_direct(rng):
     """Space-to-depth folded generator (ops.fold) is exactly equivalent."""
     cfg = tiny_cfg()
