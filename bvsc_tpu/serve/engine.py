@@ -5,17 +5,23 @@ chip (the BASELINE.json serving config: 128 concurrent streams with
 per-stream bitrates).  The reference has no serving layer (SURVEY §1 "no
 serving layer"); this is the TPU-native design for one:
 
-  * every stream owns a slot in fixed-shape batched state (BVRNN hidden
-    states + streaming-vocoder conv buffers),
-  * a ``tick()`` advances ALL active streams by one 256-sample frame in two
-    jitted XLA calls (encode-side, decode-side), with inactive slots masked
-    so shapes never change and nothing recompiles,
+  * every stream owns a slot in fixed-shape batched device state: the
+    rolling 1024-sample STFT window, BVRNN encoder/decoder hidden states,
+    and the streaming-vocoder conv buffers ALL live on device — per tick
+    only the new 256-sample hop per stream crosses the host boundary,
+  * a ``tick()`` advances ALL active streams by one frame in ONE fused
+    jitted XLA call (window roll -> mel -> BVRNN encode -> BVRNN decode ->
+    streaming vocoder), with inactive slots masked so shapes never change
+    and nothing recompiles,
   * per-stream bitrate is a (B,)-vector — the bit-priority mask already
     supports per-frame bits (models/bvrnn.py bit_mask_from_bitrate),
-  * opening/closing a stream zeroes its state rows on device.
+  * opening/closing a stream zeroes its state rows on device; a stream's
+    first tick preloads its window row with the reflect pre-roll so the
+    rolled-in hop reproduces the one-shot left padding exactly.
 
-Host-side per-slot sample/code queues are plain numpy ring buffers; all
-heavy compute is batched on the MXU.
+Host-side per-slot sample queues are plain numpy ring buffers; all heavy
+compute is batched on the MXU.  One engine slot is bit-identical to a
+dedicated ``StreamingCodec`` (tested).
 """
 
 from __future__ import annotations
@@ -35,37 +41,50 @@ from bvsc_tpu.streaming import generator_stream_init, generator_stream_step
 WIN = 1024
 
 
-@functools.partial(jax.jit, static_argnames=("bcfg", "frontend"))
-def _encode_tick(params, window, h, bits, active, *, bcfg, frontend):
-    """window: (B, 1024) current frame samples; one encode step."""
+@functools.partial(
+    jax.jit, static_argnames=("bcfg", "vcfg", "frontend"), donate_argnums=(2,)
+)
+def _fused_tick(
+    params, voc_params, state, chunk, bits, active, *, bcfg, vcfg, frontend
+):
+    """ONE dispatch advancing every active slot by one 256-sample frame.
+
+    state: {window (B, 1024), enc_h (B, h), dec_h (B, h), voc (pytree)};
+    chunk: (B, hop) new samples; active: (B,) bool mask.
+    Returns (new_state, codes (B, z), wav (B, hop)).
+    """
+    hop = chunk.shape[-1]
+    window = jnp.concatenate([state["window"][:, hop:], chunk], axis=-1)
+
     frames = window * SCALING * frontend.window
     cos_b, sin_b = frontend._dft
     re = jnp.matmul(frames, cos_b, precision=jax.lax.Precision.HIGHEST)
     im = jnp.matmul(frames, sin_b, precision=jax.lax.Precision.HIGHEST)
     mag = jnp.sqrt(re * re + im * im + 1e-9)  # (B, bins)
     mel = dynamic_range_compression(mag @ frontend.mel_basis.T)  # (B, M)
-    codes, h_new = bvrnn_mod.encode_with_state(
-        params, bcfg, mel[:, None, :], bits[:, None], h
-    )
-    h = jnp.where(active[:, None], h_new, h)
-    return codes[:, 0, :], h
 
-
-@functools.partial(jax.jit, static_argnames=("bcfg", "vcfg"))
-def _decode_tick(params, voc_params, codes, dec_h, voc_state, active, *, bcfg, vcfg):
-    mel, h_new = bvrnn_mod.decode(params, bcfg, codes[:, None, :], dec_h)
-    new_voc, wav = generator_stream_step(
-        voc_params, vcfg, voc_state, jnp.swapaxes(mel, 1, 2)
+    codes, enc_h = bvrnn_mod.encode_with_state(
+        params, bcfg, mel[:, None, :], bits[:, None], state["enc_h"]
     )
-    dec_h = jnp.where(active[:, None], h_new, dec_h)
+    mel_hat, dec_h = bvrnn_mod.decode(params, bcfg, codes, state["dec_h"])
+    voc_state, wav = generator_stream_step(
+        voc_params, vcfg, state["voc"], jnp.swapaxes(mel_hat, 1, 2)
+    )
+
     mask = active[:, None]
-    voc_state = jax.tree.map(
-        lambda new, old: jnp.where(
-            mask[..., None] if new.ndim == 3 else mask, new, old
+    new_state = {
+        "window": jnp.where(mask, window, state["window"]),
+        "enc_h": jnp.where(mask, enc_h, state["enc_h"]),
+        "dec_h": jnp.where(mask, dec_h, state["dec_h"]),
+        "voc": jax.tree.map(
+            lambda new, old: jnp.where(
+                mask[..., None] if new.ndim == 3 else mask, new, old
+            ),
+            voc_state,
+            state["voc"],
         ),
-        new_voc, voc_state,
-    )
-    return wav[:, 0, :] / SCALING, dec_h, voc_state
+    }
+    return new_state, codes[:, 0, :], wav[:, 0, :] / SCALING
 
 
 class ServingEngine:
@@ -81,9 +100,6 @@ class ServingEngine:
         self.z_dim = conf.z_dim
         dtype = codec.bvrnn_cfg.dtype
 
-        self.enc_h = jnp.zeros((self.B, conf.h_dim), dtype)
-        self.dec_h = jnp.zeros((self.B, conf.h_dim), dtype)
-        self.voc_state = generator_stream_init(conf.vocoder_config, self.B, dtype)
         self._batch_sharding = None
         if mesh is not None:
             from bvsc_tpu.parallel.mesh import batch_sharded
@@ -91,22 +107,33 @@ class ServingEngine:
             if self.B % mesh.size:
                 raise ValueError("max_streams must divide evenly over the mesh")
             self._batch_sharding = batch_sharded(mesh)
-            put = lambda t: jax.device_put(t, self._batch_sharding)
-            self.enc_h = put(self.enc_h)
-            self.dec_h = put(self.dec_h)
-            self.voc_state = jax.tree.map(put, self.voc_state)
+
+        self.state = self._put(
+            {
+                "window": jnp.zeros((self.B, WIN), jnp.float32),
+                "enc_h": jnp.zeros((self.B, conf.h_dim), dtype),
+                "dec_h": jnp.zeros((self.B, conf.h_dim), dtype),
+                "voc": generator_stream_init(conf.vocoder_config, self.B, dtype),
+            }
+        )
         self.bits = np.zeros(self.B, np.float32)
 
         self._free = list(range(max_streams))
         self._active = np.zeros(self.B, bool)
         self._started = np.zeros(self.B, bool)
-        # per-slot host queues
+        # per-slot host input queues (device state holds everything else)
         self._inq = [np.zeros(0, np.float32) for _ in range(self.B)]
-        self._win = np.zeros((self.B, WIN), np.float32)  # rolling mel windows
 
         self._frontend = codec.frontend
         self._bcfg = codec.bvrnn_cfg
         self._vcfg = conf.vocoder_config
+
+    def _put(self, tree):
+        if self._batch_sharding is None:
+            return tree
+        return jax.tree.map(
+            lambda t: jax.device_put(t, self._batch_sharding), tree
+        )
 
     # -- stream management ----------------------------------------------------
 
@@ -117,13 +144,10 @@ class ServingEngine:
         self._active[sid] = True
         self._started[sid] = False
         self._inq[sid] = np.zeros(0, np.float32)
-        self._win[sid] = 0.0
         self.bits[sid] = self.codec.bits_per_frame(bitrate)
         # zero the slot's device state rows
-        self.enc_h = self.enc_h.at[sid].set(0.0)
-        self.dec_h = self.dec_h.at[sid].set(0.0)
-        self.voc_state = jax.tree.map(
-            lambda s: s.at[sid].set(0.0), self.voc_state
+        self.state = self._put(
+            jax.tree.map(lambda s: s.at[sid].set(0.0), self.state)
         )
         return sid
 
@@ -137,7 +161,9 @@ class ServingEngine:
         self.bits[sid] = self.codec.bits_per_frame(bitrate)
 
     def push(self, sid: int, samples: np.ndarray) -> None:
-        self._inq[sid] = np.concatenate([self._inq[sid], np.asarray(samples, np.float32)])
+        self._inq[sid] = np.concatenate(
+            [self._inq[sid], np.asarray(samples, np.float32)]
+        )
 
     # -- processing -----------------------------------------------------------
 
@@ -147,57 +173,61 @@ class ServingEngine:
         Returns {sid: (codes (z_dim,), wav (hop,))} for advanced streams.
         """
         advanced = []
+        chunk = np.zeros((self.B, self.hop), np.float32)
+        preload: list[tuple[int, np.ndarray]] = []
+        need = WIN - self.pad_left  # 768: lookahead + first hop
         for sid in range(self.B):
             if not self._active[sid]:
                 continue
             if not self._started[sid]:
-                need = WIN - self.pad_left  # 768: lookahead + first hop
                 if self._inq[sid].shape[0] < need:
                     continue
                 x = self._inq[sid][:need]
                 pre = x[1 : self.pad_left + 1][::-1]  # reflect pre-roll
-                self._win[sid] = np.concatenate([pre, x])
+                window0 = np.concatenate([pre, x])  # (WIN,)
+                # preload the slot's window so rolling in the final hop
+                # reproduces window0 exactly (one-shot left padding)
+                preload.append(
+                    (sid, np.concatenate([np.zeros(self.hop, np.float32),
+                                          window0[: -self.hop]]))
+                )
+                chunk[sid] = window0[-self.hop :]
                 self._inq[sid] = self._inq[sid][need:]
                 self._started[sid] = True
                 advanced.append(sid)
             else:
                 if self._inq[sid].shape[0] < self.hop:
                     continue
-                self._win[sid] = np.concatenate(
-                    [self._win[sid][self.hop :], self._inq[sid][: self.hop]]
-                )
+                chunk[sid] = self._inq[sid][: self.hop]
                 self._inq[sid] = self._inq[sid][self.hop :]
                 advanced.append(sid)
 
         if not advanced:
             return {}
+        if preload:  # only on stream-start ticks
+            sids = np.array([p[0] for p in preload])
+            wins = np.stack([p[1] for p in preload])
+            self.state = dict(
+                self.state,
+                window=self._put(self.state["window"].at[sids].set(wins)),
+            )
         active = np.zeros(self.B, bool)
         active[advanced] = True
-        if self._batch_sharding is not None:
-            win = jax.device_put(jnp.asarray(self._win), self._batch_sharding)
-            act = jax.device_put(jnp.asarray(active), self._batch_sharding)
-            codes, self.enc_h = _encode_tick(
-                self.codec.bvrnn_params, win, self.enc_h,
-                jax.device_put(jnp.asarray(self.bits), self._batch_sharding), act,
-                bcfg=self._bcfg, frontend=self._frontend,
-            )
-            wav, self.dec_h, self.voc_state = _decode_tick(
-                self.codec.bvrnn_params, self.codec.vocoder_params, codes,
-                self.dec_h, self.voc_state, act,
-                bcfg=self._bcfg, vcfg=self._vcfg,
-            )
-            codes_np = np.asarray(codes)
-            wav_np = np.asarray(wav)
-            return {sid: (codes_np[sid], wav_np[sid]) for sid in advanced}
-        codes, self.enc_h = _encode_tick(
-            self.codec.bvrnn_params, jnp.asarray(self._win),
-            self.enc_h, jnp.asarray(self.bits), jnp.asarray(active),
-            bcfg=self._bcfg, frontend=self._frontend,
+        dev = lambda t: (
+            jax.device_put(jnp.asarray(t), self._batch_sharding)
+            if self._batch_sharding is not None
+            else jnp.asarray(t)
         )
-        wav, self.dec_h, self.voc_state = _decode_tick(
-            self.codec.bvrnn_params, self.codec.vocoder_params, codes,
-            self.dec_h, self.voc_state, jnp.asarray(active),
-            bcfg=self._bcfg, vcfg=self._vcfg,
+        self.state, codes, wav = _fused_tick(
+            self.codec.bvrnn_params,
+            self.codec.vocoder_params,
+            self.state,
+            dev(chunk),
+            dev(self.bits),
+            dev(active),
+            bcfg=self._bcfg,
+            vcfg=self._vcfg,
+            frontend=self._frontend,
         )
         codes_np = np.asarray(codes)
         wav_np = np.asarray(wav)
