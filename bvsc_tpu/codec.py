@@ -57,6 +57,7 @@ class BVRNNCodecModel:
         length_bucket: int = 64,
         precision: str = "highest",
         quantize: str | None = None,
+        use_pallas: bool | None = None,
     ):
         """precision: 'highest' (reference-parity f32 matmul passes) or
         'default' (single-pass bf16 MXU — ~4x faster scans / ~2.5x faster
@@ -64,7 +65,13 @@ class BVRNNCodecModel:
 
         quantize: None or 'int8' — weight-only int8 BVRNN weights
         (per-channel scales; ~2.5x faster HBM-bound single-stream scans,
-        ~99.8% code agreement; see ops.quant)."""
+        ~99.8% code agreement; see ops.quant).
+
+        use_pallas: run the vocoder residual stacks as fused, space-to-depth
+        folded Pallas TPU kernels (``ops.pallas_voc``) — the tiny-channel
+        resblocks are the throughput bottleneck at <10% MXU utilisation
+        under XLA's direct lowering.  None = auto (TPU platform + fast
+        precision + a supported config)."""
         self.conf = config if config is not None else load_config(config_path)
         conf = self.conf
         self.dtype = dtype
@@ -123,13 +130,30 @@ class BVRNNCodecModel:
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
 
+        if use_pallas is None:
+            from bvsc_tpu.ops.pallas_voc import pallas_stack_supported
+
+            use_pallas = (
+                jax.devices()[0].platform == "tpu"
+                and self.precision == jax.lax.Precision.DEFAULT
+                and pallas_stack_supported(conf.vocoder_config)
+            )
+        self.use_pallas = bool(use_pallas)
+        self._voc_kernel_blocks = None
+        if self.use_pallas:
+            from bvsc_tpu.ops.pallas_voc import prepare_resblock_kernel_params
+
+            self._voc_kernel_blocks = prepare_resblock_kernel_params(
+                self.vocoder_params, conf.vocoder_config
+            )
+
         self._encode_jit = jax.jit(
             functools.partial(_encode_impl, cfg=self.bvrnn_cfg),
             static_argnames=("frontend",),
         )
         self._decode_jit = jax.jit(
             functools.partial(_decode_impl, bcfg=self.bvrnn_cfg),
-            static_argnames=("vcfg", "length"),
+            static_argnames=("vcfg", "length", "pallas_compute"),
         )
         self._decode_mel_jit = jax.jit(
             functools.partial(_decode_mel_impl, cfg=self.bvrnn_cfg)
@@ -199,8 +223,12 @@ class BVRNNCodecModel:
             self.bvrnn_params,
             self.vocoder_params,
             codes,
+            self._voc_kernel_blocks,
             vcfg=self.conf.vocoder_config,
             length=padded_len,
+            pallas_compute=(
+                "bf16" if self.precision == jax.lax.Precision.DEFAULT else "f32"
+            ),
         )
         y = y[:, :length]
         return y[0] if squeeze else y
@@ -261,14 +289,26 @@ def _decode_mel_impl(params, codes, *, cfg):
     return jnp.swapaxes(mel, 1, 2)
 
 
-def _decode_impl(params, voc_params, codes, *, bcfg, vcfg, length):
+def _decode_impl(
+    params, voc_params, codes, kernel_blocks=None, *, bcfg, vcfg, length,
+    pallas_compute="bf16",
+):
     B = codes.shape[0]
     h0 = jnp.zeros((B, bcfg.h_dim), bcfg.dtype)
     mel, _ = bvrnn_mod.decode(params, bcfg, codes, h0)
-    wav = voc_mod.generator_apply(
-        voc_params, vcfg, jnp.swapaxes(mel, 1, 2), length,
-        precision=bcfg.precision,
-    )
+    mel = jnp.swapaxes(mel, 1, 2)
+    if kernel_blocks is not None:
+        wav = voc_mod.generator_apply_pallas(
+            voc_params, kernel_blocks, vcfg, mel, length,
+            precision=bcfg.precision,
+            compute_dtype=(
+                jnp.bfloat16 if pallas_compute == "bf16" else jnp.float32
+            ),
+        )
+    else:
+        wav = voc_mod.generator_apply(
+            voc_params, vcfg, mel, length, precision=bcfg.precision,
+        )
     return wav[:, 0, :] / SCALING
 
 

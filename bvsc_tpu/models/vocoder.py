@@ -202,6 +202,49 @@ def generator_apply(
 
 
 # ---------------------------------------------------------------------------
+# Pallas fast path: fused, folded resblock kernels (ops/pallas_voc.py)
+# ---------------------------------------------------------------------------
+
+
+def generator_apply_pallas(
+    params: Params,
+    kernel_blocks: list,
+    cfg: VocoderConfig,
+    x: jax.Array,
+    length: int | None = None,
+    precision=None,
+    *,
+    block_len: int = 1024,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Generator forward with the residual stacks as fused Pallas kernels
+    (``ops.pallas_voc.amp_resblock_folded``); conv_pre / upsamples /
+    conv_post stay direct XLA convs.  ``kernel_blocks`` from
+    ``ops.pallas_voc.prepare_resblock_kernel_params(params, cfg)``.
+    Identical math to :func:`generator_apply` (one bf16 MXU pass per dot in
+    serving mode; ``compute_dtype=jnp.float32`` for parity testing)."""
+    from bvsc_tpu.ops.pallas_voc import resblock_stack_folded
+
+    x = pad1d(x, 6, 0)
+    x = conv1d(x, params["conv_pre"], precision=precision)
+    for i, u in enumerate(cfg.upsample_rates):
+        x = conv_transpose1d(x, params["ups"][i], stride=u, precision=precision)
+        x = resblock_stack_folded(
+            x, kernel_blocks, cfg, i,
+            block_len=block_len, compute_dtype=compute_dtype, interpret=interpret,
+        )
+    x = apply_activation(x, params["act_post"], kind=cfg.activation,
+                         logscale=cfg.snake_logscale)
+    x = pad1d(x, 6, 0)
+    x = conv1d(x, params["conv_post"], precision=precision)
+    x = jnp.tanh(x)
+    if length is not None:
+        x = x[..., :length]
+    return x
+
+
+# ---------------------------------------------------------------------------
 # Fast folded apply (space-to-depth: tiny-channel convs -> MXU-shaped convs)
 # ---------------------------------------------------------------------------
 

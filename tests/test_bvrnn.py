@@ -63,6 +63,7 @@ def test_encode_codes_bitexact(ref_model, jcfg, jparams, data):
     np.testing.assert_allclose(np.asarray(h_seq), h_ref.numpy(), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_decode_matches(ref_model, jcfg, jparams, data):
     y, bits = data
     rng = np.random.default_rng(3)

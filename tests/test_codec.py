@@ -115,6 +115,7 @@ def test_call_equals_two_step(small_codec_and_refs, rng):
     np.testing.assert_array_equal(one, two)
 
 
+@pytest.mark.slow
 def test_non_hop_multiple_lengths(small_codec_and_refs, rng):
     codec, *_ = small_codec_and_refs
     for L in (5000, 4099, 22050 + 7):

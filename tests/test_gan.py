@@ -229,6 +229,7 @@ def test_gan_losses_match_reference_formulas(rng):
     np.testing.assert_allclose(float(fl), float(fl_ref), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_gan_train_step_smoke(rng):
     from bvsc_tpu.parallel.mesh import make_mesh, shard_batch
     from bvsc_tpu.train.vocoder_train import GANTrainConfig, VocoderGANTrainer

@@ -48,6 +48,7 @@ def test_engine_matches_streaming_codec(codec, rng):
     )
 
 
+@pytest.mark.slow
 def test_engine_concurrent_streams_independent(codec, rng):
     """Two concurrent streams give the same results as two solo runs."""
     L = 768 + 256 * 6

@@ -79,6 +79,7 @@ def test_streaming_first_frame_latency(codec, rng):
     assert enc.feed(x[:, 767:768]).shape[1] == 1
 
 
+@pytest.mark.slow
 def test_streaming_full_codec_equals_oneshot(codec, rng):
     L = 256 * 30
     x = (rng.standard_normal((1, L)) * 0.3).astype(np.float32)
