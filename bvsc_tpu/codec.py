@@ -68,10 +68,15 @@ class BVRNNCodecModel:
         ~99.8% code agreement; see ops.quant).
 
         use_pallas: run the vocoder residual stacks as fused, space-to-depth
-        folded Pallas TPU kernels (``ops.pallas_voc``) — the tiny-channel
-        resblocks are the throughput bottleneck at <10% MXU utilisation
-        under XLA's direct lowering.  None = auto (TPU platform + fast
-        precision + a supported config)."""
+        folded Pallas TPU kernels (``ops.pallas_voc``).  Default OFF: on the
+        axon-virtualized v5e used here, Mosaic dot throughput measures
+        1.4-5.7 TFLOP/s with ~30 us/grid-step overhead vs ~19 TFLOP/s for
+        XLA's direct convs, so the fused kernel LOSES (~70 vs ~48 ms per
+        residual stage at B=128); the direct path is already near the
+        chip's ~200 GB/s effective HBM roofline.  The kernel is equivalence
+        -tested (tests/test_pallas_voc.py) and retained for non-virtualized
+        TPU runtimes where fusing a whole resblock into two HBM passes is
+        a ~5x win on paper."""
         self.conf = config if config is not None else load_config(config_path)
         conf = self.conf
         self.dtype = dtype
@@ -130,15 +135,15 @@ class BVRNNCodecModel:
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
 
-        if use_pallas is None:
+        self.use_pallas = bool(use_pallas) if use_pallas is not None else False
+        if self.use_pallas:
             from bvsc_tpu.ops.pallas_voc import pallas_stack_supported
 
-            use_pallas = (
-                jax.devices()[0].platform == "tpu"
-                and self.precision == jax.lax.Precision.DEFAULT
-                and pallas_stack_supported(conf.vocoder_config)
-            )
-        self.use_pallas = bool(use_pallas)
+            if not pallas_stack_supported(conf.vocoder_config):
+                raise ValueError(
+                    "use_pallas requires a causal, non-antialiased "
+                    "snakebeta(logscale) vocoder config"
+                )
         self._voc_kernel_blocks = None
         if self.use_pallas:
             from bvsc_tpu.ops.pallas_voc import prepare_resblock_kernel_params

@@ -19,8 +19,15 @@ B=128 generator).  This kernel makes the resblocks MXU-shaped:
     scratch, so each input block is read from HBM exactly once.
 
 The folded-weight FLOP multiplier is s*(D+1)/k per conv (D = ceil((k-1)d/s))
-— a 2-7x dense-FLOP increase that buys 128/C x better MXU utilisation; net
-measured win ~4x on the B=128 serving batch.
+— a 2-7x dense-FLOP increase that buys 128/C x better MXU utilisation and,
+on paper, a whole-resblock reduction from ~13 HBM passes to 2.
+
+MEASURED RESULT (axon-virtualized v5e, B=128): the kernel LOSES to XLA's
+direct convs (~70 vs ~48 ms per residual stage).  Micro-probes put Mosaic
+dot throughput on this stack at 1.4-5.7 TFLOP/s with ~30 us per grid step,
+vs ~19 TFLOP/s for an XLA conv on the same chip — the serial in-kernel
+dot chain never amortizes.  Kept as an equivalence-tested opt-in
+(``BVRNNCodecModel(use_pallas=True)``) for non-virtualized TPU runtimes.
 
 Numerics: identical math to ``models.vocoder.generator_apply`` up to f32
 summation order ('highest') or one bf16 MXU pass ('default', serving mode).

@@ -45,8 +45,17 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    # stall diagnosis: `kill -USR1 <pid>` dumps all thread stacks to stderr
+    import faulthandler, signal
+    faulthandler.register(signal.SIGUSR1)
+
     import jax
     import jax.numpy as jnp
+
+    # scan compiles are minutes cold on the tunneled AOT stack; cache them
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.cache/jax_comp"))
 
     from bvsc_tpu.config import CodecConfig
     from bvsc_tpu.data.dataset import AudioSegmentDataset

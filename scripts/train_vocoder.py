@@ -104,8 +104,17 @@ def load_configs(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    # stall diagnosis: `kill -USR1 <pid>` dumps all thread stacks to stderr
+    import faulthandler, signal
+    faulthandler.register(signal.SIGUSR1)
+
     import jax
     import jax.numpy as jnp
+
+    # GAN-step compiles are minutes cold on the tunneled AOT stack
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.cache/jax_comp"))
 
     from bvsc_tpu.data.dataset import AudioSegmentDataset
     from bvsc_tpu.eval.metrics import mel_l1, mrstft, pesq_wb_16k

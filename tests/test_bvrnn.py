@@ -76,6 +76,7 @@ def test_decode_matches(ref_model, jcfg, jparams, data):
 
 
 @pytest.mark.parametrize("p_use_gen", [0.0, 1.0])
+@pytest.mark.slow
 def test_forward_train_matches_at_deterministic_p(ref_model, jcfg, jparams, data, p_use_gen):
     # at p_use_gen 0 or 1 the scheduled-sampling branch is deterministic,
     # so greedy forward is comparable across frameworks
@@ -119,6 +120,7 @@ def test_encode_decode_state_sync(jcfg, jparams, data):
     np.testing.assert_array_equal(np.asarray(mel_dec), np.asarray(mel2))
 
 
+@pytest.mark.slow
 def test_chunked_encode_equals_oneshot(jcfg, jparams, data):
     y, bits = data
     ya, yb = jnp.asarray(y[:, :10]), jnp.asarray(y[:, 10:])

@@ -115,6 +115,7 @@ def test_mushra_filtering_rule():
         assert abs(stats[cond]["mean"] - ref_stats[cond]["mean"]) < 0.05, cond
 
 
+@pytest.mark.slow
 def test_dump_finetune_mels_roundtrip(wav_dir, tmp_path):
     """The fine-tuning mel dump (reference ckpt 'ftbvrnn'; its producer was
     never published) must write (num_mels, frames) .npy files the dataset's

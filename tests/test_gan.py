@@ -46,6 +46,7 @@ def build_ref_discs(cfg: VocoderConfig, seed=0):
     return mpd, mrd
 
 
+@pytest.mark.slow
 def test_mpd_parity(rng):
     cfg = disc_cfg()
     mpd_ref, _ = build_ref_discs(cfg)

@@ -83,6 +83,7 @@ def test_resblock_stack_matches_direct(vcfg, gen_params, rng, stage):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_generator_pallas_matches_direct(vcfg, gen_params, rng):
     """Full generator with the Pallas fast path == generator_apply."""
     T = 40

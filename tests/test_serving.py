@@ -88,6 +88,7 @@ def test_engine_concurrent_streams_independent(codec, rng):
     np.testing.assert_array_equal(np.stack(c2), c2_solo)
 
 
+@pytest.mark.slow
 def test_engine_slot_reuse_resets_state(codec, rng):
     L = 768 + 256 * 3
     x = (rng.standard_normal(L) * 0.3).astype(np.float32)

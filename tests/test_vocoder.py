@@ -71,6 +71,7 @@ def build_ref_generator(cfg: VocoderConfig, seed=0):
         {"layers_antialias": (True, True), "antialias_post": True},  # alias-free path
     ],
 )
+@pytest.mark.slow
 def test_generator_parity(overrides):
     cfg = tiny_cfg(**overrides)
     ref = build_ref_generator(cfg)
