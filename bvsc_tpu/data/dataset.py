@@ -170,10 +170,24 @@ class AudioSegmentDataset:
         """Infinite (or ``epochs``-bounded) shuffled batch iterator over this
         host's shard — the DistributedSampler replacement."""
         files = self.audio_files[host_id::num_hosts]
+        if not files:
+            raise ValueError(
+                f"host {host_id}/{num_hosts} has an empty filelist shard"
+            )
         idx_of = {f: i for i, f in enumerate(self.audio_files)}
         epoch = 0
         while epochs is None or epoch < epochs:
             order = self._rng.permutation(len(files))
+            if drop_last and len(files) < batch_size:
+                # Fewer files than the batch: tile reshuffled permutations so
+                # every epoch still yields full batches (each entry gets an
+                # independent random crop).  Without this, drop_last would
+                # yield NOTHING and the epoch loop would spin forever.
+                reps = -(-batch_size // len(files))
+                order = np.concatenate(
+                    [order] + [self._rng.permutation(len(files))
+                               for _ in range(reps - 1)]
+                )
             for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
                 chunk = order[i : i + batch_size]
                 if drop_last and len(chunk) < batch_size:

@@ -177,3 +177,25 @@ def test_wav_cache_reuse(wav_dir):
     ds_ft = AudioSegmentDataset(paths, 8192, 22050, 256, fine_tuning=True,
                                 base_mels_path=".", seed=0, n_cache_reuse=5)
     assert ds_ft.n_cache_reuse == 1
+
+
+def test_batches_with_fewer_files_than_batch(tmp_path):
+    """A filelist smaller than the batch must still yield full batches
+    (tiled reshuffles, independent crops) instead of spinning forever."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    from bvsc_tpu.data.dataset import AudioSegmentDataset
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"w{i}.wav"
+        wavfile.write(p, 22050, (rng.standard_normal(22050) * 8000).astype(np.int16))
+        paths.append(str(p))
+    ds = AudioSegmentDataset(paths, 8192, 22050, 256, seed=0)
+    it = ds.batches(8)
+    audio, _ = next(it)
+    assert audio.shape == (8, 8192)
+    audio2, _ = next(it)
+    assert audio2.shape == (8, 8192)
