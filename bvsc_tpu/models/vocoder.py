@@ -19,6 +19,8 @@ convs — MXU-bound; no Python control flow depends on data.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -144,14 +146,19 @@ def _amp_block(
 
 def generator_apply(
     params: Params, cfg: VocoderConfig, x: jax.Array, length: int | None = None,
-    precision=None,
+    precision=None, *, remat: bool = False,
 ) -> jax.Array:
     """Mel (B, num_mels, T) -> waveform (B, 1, length)
     (reference ``models.py:207-238``).
 
     precision: None -> ops.conv.DEFAULT_PRECISION (HIGHEST, reference
     parity); pass jax.lax.Precision.DEFAULT for the fast serving path
-    (bf16 MXU passes, ~2.5x faster, output differs at ~1e-3)."""
+    (bf16 MXU passes, ~2.5x faster, output differs at ~1e-3).
+
+    remat: rematerialise each residual block under ``jax.grad`` — forward
+    math is identical; the backward pass recomputes resblock intermediates
+    instead of keeping them live, shrinking grad-program peak memory ~6x
+    (keeps the tunneled AOT compile helper under its memory cap)."""
     num_k = len(cfg.resblock_kernel_sizes)
 
     if cfg.pre_sym:
@@ -175,10 +182,13 @@ def generator_apply(
         for j, (ksz, dil) in enumerate(
             zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
         ):
-            out = _amp_block(
-                x, params["resblocks"][i * num_k + j], cfg, ksz, dil, sym, aa,
-                precision=precision,
+            block_fn = functools.partial(
+                _amp_block, cfg=cfg, kernel_size=ksz, dilations=dil,
+                symmetric=sym, antialias=aa, precision=precision,
             )
+            if remat:
+                block_fn = jax.checkpoint(block_fn)
+            out = block_fn(x, params["resblocks"][i * num_k + j])
             xs = out if xs is None else xs + out
         x = xs / num_k
 
