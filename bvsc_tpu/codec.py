@@ -322,9 +322,33 @@ def _decode_impl(
 # ---------------------------------------------------------------------------
 
 
+def _unflatten_npz(z, dtype):
+    """Rebuild a params pytree from a flat ``a/0/b``-keyed npz (the demo
+    checkpoint format written by chkpts/ tooling).  All-integer key levels
+    become lists."""
+    tree: dict = {}
+    for key in z.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(np.asarray(z[key]), dtype)
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [listify(node[k]) for k in sorted(node, key=int)]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(tree)
+
+
 def _load_bvrnn_checkpoint(path: str, dtype):
     from bvsc_tpu.convert import bvrnn_params_from_torch, load_torch_checkpoint
 
+    if path.endswith(".npz"):  # flat demo artifact (chkpts/*.npz)
+        return _unflatten_npz(np.load(path), dtype)
     if os.path.isdir(path):  # Orbax directory
         from bvsc_tpu.train.checkpoint import restore_pytree
 
@@ -333,6 +357,12 @@ def _load_bvrnn_checkpoint(path: str, dtype):
             return tree["vrnn"]
         if isinstance(tree, dict) and "params" in tree:  # TrainState save
             return tree["params"]
+        if isinstance(tree, (list, tuple)):
+            # targetless Orbax restore of a registered-pytree TrainState
+            # flattens to its children [params, opt_state, step]
+            for child in tree:
+                if isinstance(child, dict) and "gru" in child and "phi_x" in child:
+                    return child
         return tree
     ckpt = load_torch_checkpoint(path)
     sd = ckpt.get("vrnn", ckpt)  # reference schema {'vrnn': state_dict}
@@ -343,11 +373,22 @@ def _load_vocoder_checkpoint(path: str, vcfg, dtype):
     from bvsc_tpu.convert import load_torch_checkpoint, vocoder_params_from_torch
 
     if os.path.isdir(path):
+        from bvsc_tpu.models.vocoder import fold_generator_params
         from bvsc_tpu.train.checkpoint import restore_pytree
 
         tree = restore_pytree(path)
         if isinstance(tree, dict) and "generator" in tree:
-            return tree["generator"]
+            tree = tree["generator"]
+        elif isinstance(tree, (list, tuple)):
+            # targetless restore of GANTrainState -> [gen, mpd, mrd, ...]
+            for child in tree:
+                if isinstance(child, dict) and "conv_pre" in child:
+                    tree = child
+                    break
+        # trainer checkpoints carry weight-norm (g, v) params; fold for
+        # inference (reference inference.py:53 remove_weight_norm)
+        if isinstance(tree, dict) and "conv_pre" in tree and "g" in tree["conv_pre"]:
+            tree = fold_generator_params(tree)
         return tree
     ckpt = load_torch_checkpoint(path)
     sd = ckpt.get("generator", ckpt)  # reference schema (train.py:326-337)
