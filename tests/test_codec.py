@@ -170,3 +170,54 @@ def test_1d_input_promotion(small_codec_and_refs, rng):
         codec.encode(x[None, None], 3000)
     with pytest.raises(ValueError):
         codec.decode(codes1[None, None], 100)
+
+
+def test_checkpoint_loading_paths(tmp_path):
+    """The three trainer-artifact loading paths added for real training runs:
+    flat-npz demo format, targetless-Orbax TrainState restore (list
+    children), and weight-norm folding of trainer vocoder params."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from bvsc_tpu.codec import _load_bvrnn_checkpoint, _load_vocoder_checkpoint
+    from bvsc_tpu.config import CodecConfig
+    from bvsc_tpu.models import bvrnn as bvrnn_mod
+    from bvsc_tpu.models import vocoder as voc_mod
+    from bvsc_tpu.ops.conv import fold_weight_norm
+    from bvsc_tpu.train import checkpoint as ckpt
+
+    conf = CodecConfig(h_dim=32, z_dim=8, num_mels=16)
+    bcfg = bvrnn_mod.BVRNNConfig(x_dim=16, h_dim=32, z_dim=8)
+    params = bvrnn_mod.init_bvrnn_params(jax.random.key(0), bcfg)
+
+    # flat npz roundtrip
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(p.key if hasattr(p, "key") else str(p.idx) for p in path)
+        flat[key] = np.asarray(leaf)
+    npz = tmp_path / "demo.npz"
+    np.savez(npz, **flat)
+    loaded = _load_bvrnn_checkpoint(str(npz), jnp.float32)
+    assert jax.tree.structure(loaded) == jax.tree.structure(params)
+    np.testing.assert_allclose(
+        np.asarray(loaded["gru"]["w_ih"]), np.asarray(params["gru"]["w_ih"])
+    )
+
+    # targetless Orbax restore of a TrainState-shaped list
+    state_like = [params, [np.zeros(3)], np.asarray(7)]
+    ckpt.save_pytree(str(tmp_path / "bvrnn_00000007"), state_like)
+    loaded2 = _load_bvrnn_checkpoint(str(tmp_path / "bvrnn_00000007"), jnp.float32)
+    assert isinstance(loaded2, dict) and "gru" in loaded2 and "phi_x" in loaded2
+
+    # weight-normed vocoder trainer params fold on load
+    vcfg = conf.vocoder_config
+    wn = voc_mod.init_generator_params(jax.random.key(1), vcfg, weight_norm=True)
+    ckpt.save_pytree(str(tmp_path / "g_00000001"), {"generator": wn})
+    voc_loaded = _load_vocoder_checkpoint(str(tmp_path / "g_00000001"), vcfg, jnp.float32)
+    assert "w" in voc_loaded["conv_pre"] and "g" not in voc_loaded["conv_pre"]
+    np.testing.assert_allclose(
+        np.asarray(voc_loaded["conv_pre"]["w"]),
+        np.asarray(fold_weight_norm(wn["conv_pre"]["g"], wn["conv_pre"]["v"])),
+        rtol=1e-6,
+    )
