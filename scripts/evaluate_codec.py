@@ -1,0 +1,142 @@
+"""Objective evaluation of the codec over the MUSHRA stimuli.
+
+The reference evaluates with in-training ``validate()`` metrics
+(``third_party/BigVGAN/train.py:150-227``: mel-L1, MRSTFT, PESQ) and a human
+MUSHRA test at the paper's two operating points (16 and 64 bits/frame =
+1.378 / 5.5125 kbps, condition names in
+``mushra_results_dataset/ratings_formated.csv``).  This standalone harness
+runs the same objective metrics over any wav set at any bitrates — the
+eval-layer CLI the reference keeps buried inside its trainer.
+
+Usage:
+  python scripts/evaluate_codec.py \
+      --stimuli_dir /root/reference/mushra_results_dataset/audio \
+      --bvrnn_checkpoint chkpts/bvsc_bvrnn_demo_step3000_f16.npz \
+      --vocoder_checkpoint chkpts/bvsc_vocoder_demo_ftbvrnn_g_step450 \
+      --bitrates 1378 5512
+
+With no checkpoints it evaluates random-init weights (useful only as a
+pipeline smoke test).  Prints one row per (stimulus, bitrate) and a summary
+JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/varbitrate.toml")
+    p.add_argument("--stimuli_dir",
+                   default="/root/reference/mushra_results_dataset/audio",
+                   help="directory of stim_*/ref.wav (or a flat dir of wavs)")
+    p.add_argument("--bvrnn_checkpoint", default=None)
+    p.add_argument("--vocoder_checkpoint", default=None)
+    p.add_argument("--bitrates", type=float, nargs="+", default=[1378.0, 5512.0],
+                   help="bits/s; paper points: 1378 (16 b/frame), 5512 (64)")
+    p.add_argument("--precision", default="highest",
+                   choices=["highest", "default"])
+    p.add_argument("--limit", type=int, default=None, help="max stimuli")
+    p.add_argument("--out_json", default=None)
+    return p.parse_args(argv)
+
+
+def find_wavs(root: str) -> list[str]:
+    nested = sorted(glob.glob(os.path.join(root, "stim_*", "ref.wav")))
+    return nested if nested else sorted(glob.glob(os.path.join(root, "*.wav")))
+
+
+def load_22k(path: str) -> np.ndarray:
+    import scipy.signal
+    from scipy.io import wavfile
+
+    fs, data = wavfile.read(path)
+    x = data.astype(np.float64)
+    if x.ndim > 1:
+        x = x[:, 0]
+    x /= 32768.0
+    if fs != 22050:
+        x = scipy.signal.resample_poly(x, 22050, fs)
+    peak = np.max(np.abs(x))
+    return (x / peak if peak > 0 else x).astype(np.float32)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.cache/jax_comp"))
+
+    from bvsc_tpu.codec import BVRNNCodecModel
+    from bvsc_tpu.eval.metrics import mel_l1, mrstft, pesq_wb_16k
+    from bvsc_tpu.ops.mel import MelFrontend
+
+    codec = BVRNNCodecModel(
+        args.config,
+        bvrnn_chkpt_path=args.bvrnn_checkpoint,
+        vocoder_chkpt_path=args.vocoder_checkpoint,
+        precision=args.precision,
+    )
+    conf = codec.conf
+    frontend = MelFrontend(
+        sampling_rate=conf.fs, n_fft=conf.winsize, num_mels=conf.num_mels,
+        hop_size=conf.hopsize, win_size=conf.winsize, fmin=conf.fmin,
+        fmax=conf.fmax, padding_left=conf.mel_pad_left,
+    )
+
+    wavs = find_wavs(args.stimuli_dir)
+    if args.limit:
+        wavs = wavs[: args.limit]
+    if not wavs:
+        raise SystemExit(f"no wavs under {args.stimuli_dir}")
+
+    rows = []
+    for path in wavs:
+        x = load_22k(path)
+        name = os.path.basename(os.path.dirname(path)) or os.path.basename(path)
+        for bps in args.bitrates:
+            y = np.asarray(codec(x[None, :], bps))[0][: x.shape[0]]
+            xj, yj = jnp.asarray(x[None, :]), jnp.asarray(y[None, :])
+            row = {
+                "stim": name,
+                "bps": bps,
+                "bits_per_frame": codec.bits_per_frame(bps),
+                "mel_l1": float(mel_l1(frontend, xj, yj)),
+                "mrstft": float(mrstft(yj, xj)),
+            }
+            p = pesq_wb_16k(x, y)
+            if p is not None:
+                row["pesq_wb"] = float(p)
+            rows.append(row)
+            print(" ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                           for k, v in row.items()), flush=True)
+
+    summary = {}
+    for bps in args.bitrates:
+        sel = [r for r in rows if r["bps"] == bps]
+        summary[str(bps)] = {
+            k: round(float(np.mean([r[k] for r in sel])), 4)
+            for k in ("mel_l1", "mrstft", *(
+                ("pesq_wb",) if all("pesq_wb" in r for r in sel) else ()))
+        }
+    out = {"n_stimuli": len(wavs), "summary": summary}
+    print(json.dumps(out))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump({"rows": rows, **out}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
