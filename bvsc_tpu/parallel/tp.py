@@ -1,0 +1,198 @@
+"""Tensor-parallel BVRNN decode: Megatron-style sharding over a "model" axis.
+
+The reference's only parallelism is data-parallel DDP
+(``third_party/BigVGAN/train.py:82-85``); batch sharding covers throughput
+but does nothing for the latency-critical single-stream scan, whose per-step
+cost is reading ~23 M weights (SURVEY §7 hard parts).  Sharding those
+weights over a ``Mesh`` "model" axis divides the per-chip weight traffic by
+the axis size — the TPU-native answer (shard_map + psum/all_gather over
+ICI) to a problem DDP cannot touch.
+
+Layout (H = h_dim, D = model-axis size, each device owns H/D hidden units):
+
+  dec MLP   col → row(psum) → col → row(psum)
+  phi_x MLP col → row(psum) → col → all_gather   (GRU input must be full)
+  GRU       column-parallel per gate: full (x, h) in, local h-slice out;
+            h is all_gathered once at step start
+
+Per scan step: 3 psums + 2 all_gathers on (B, H)-sized tensors.  Math is
+identical to :func:`bvsc_tpu.models.bvrnn.decode` up to f32 summation
+order (row-parallel psum splits the contraction).
+
+Single-chip (D=1) degenerates to the plain decode; the virtual-mesh test
+(``tests/test_tp.py``) pins TP == single-device output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bvsc_tpu.models import bvrnn as bvrnn_mod
+
+MODEL_AXIS = "model"
+
+
+def make_tp_mesh(n_devices: int | None = None, axis_name: str = MODEL_AXIS) -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(devs, (axis_name,))
+
+
+# ---------------------------------------------------------------------------
+# Parameter layout
+# ---------------------------------------------------------------------------
+
+
+def prepare_tp_params(params) -> dict:
+    """Rearrange a BVRNN param pytree for :func:`decode_tp`.
+
+    Splits the packed GRU gate matrices ([r|z|n], reference torch layout)
+    into per-gate arrays so each can be column-sharded, and passes the MLP
+    stacks through unchanged (their sharding is declared by in_specs).
+    """
+    gru = params["gru"]
+    H = gru["w_hh"].shape[0]
+
+    def gates(w):
+        return {"r": w[..., :H], "z": w[..., H : 2 * H], "n": w[..., 2 * H :]}
+
+    return {
+        "dec": params["dec"],
+        "phi_x": params["phi_x"],
+        "phi_z": params["phi_z"],
+        "gru_ih": gates(gru["w_ih"]),
+        "gru_hh": gates(gru["w_hh"]),
+        "gru_bih": gates(gru["b_ih"]),
+        "gru_bhh": gates(gru["b_hh"]),
+        "mean_mel": params["mean_mel"],
+        "std_mel": params["std_mel"],
+    }
+
+
+def tp_param_specs() -> dict:
+    """PartitionSpecs matching :func:`prepare_tp_params` output.
+
+    col-parallel weights shard the output dim, row-parallel the input dim;
+    row-parallel biases stay replicated (added once after the psum).
+    """
+    col_w, row_w = P(None, MODEL_AXIS), P(MODEL_AXIS, None)
+    col_b, repl = P(MODEL_AXIS), P()
+    return {
+        # dec: [2H->H col] [H->H row] [H->H col] [H->x row]
+        "dec": [
+            {"w": col_w, "b": col_b},
+            {"w": row_w, "b": repl},
+            {"w": col_w, "b": col_b},
+            {"w": row_w, "b": repl},
+        ],
+        # phi_x: [x->H col] [H->H row] [H->H col (+gather)]
+        "phi_x": [
+            {"w": col_w, "b": col_b},
+            {"w": row_w, "b": repl},
+            {"w": col_w, "b": col_b},
+        ],
+        # phi_z is computed replicated (hoisted once per sequence)
+        "phi_z": [{"w": repl, "b": repl} for _ in range(3)],
+        "gru_ih": {k: col_w for k in ("r", "z", "n")},
+        "gru_hh": {k: col_w for k in ("r", "z", "n")},
+        "gru_bih": {k: col_b for k in ("r", "z", "n")},
+        "gru_bhh": {k: col_b for k in ("r", "z", "n")},
+        "mean_mel": repl,
+        "std_mel": repl,
+    }
+
+
+def shard_tp_params(mesh: Mesh, tp_params) -> dict:
+    """Place prepared params on the mesh with the TP shardings."""
+    specs = tp_param_specs()
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tp_params, specs,
+        is_leaf=lambda x: isinstance(x, jax.Array) or hasattr(x, "shape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded decode
+# ---------------------------------------------------------------------------
+
+
+def _col(x, p, precision):
+    """Column-parallel Linear: full input, LOCAL output slice."""
+    return jnp.matmul(x, p["w"], precision=precision) + p["b"]
+
+
+def _row(x_loc, p, precision):
+    """Row-parallel Linear: LOCAL input slice, psum to the full output."""
+    part = jnp.matmul(x_loc, p["w"], precision=precision)
+    return jax.lax.psum(part, MODEL_AXIS) + p["b"]
+
+
+def decode_tp(
+    tp_params, cfg, z: jax.Array, h0: jax.Array, mesh: Mesh
+) -> tuple[jax.Array, jax.Array]:
+    """Tensor-parallel closed-loop decode (semantics of ``bvrnn.decode``).
+
+    z: (B, T, z_dim) codes, h0: (B, h_dim); returns (mel (B, T, x_dim),
+    final h (B, h_dim)), both replicated.
+    """
+    prec = cfg.precision
+    specs = tp_param_specs()
+
+    def body(p, z_full, h_full):
+        elu = jax.nn.elu
+        # hoisted phi_z, replicated (small: z_dim -> H once per sequence)
+        phi_z = bvrnn_mod._mlp_elu(p["phi_z"], z_full.astype(cfg.dtype), prec, elu)
+
+        def step(h_loc, phi_z_t):
+            h_full_t = jax.lax.all_gather(h_loc, MODEL_AXIS, axis=-1, tiled=True)
+            # dec: col -> row -> col -> row
+            a = elu(_col(jnp.concatenate([phi_z_t, h_full_t], -1), p["dec"][0], prec))
+            a = elu(_row(a, p["dec"][1], prec))
+            a = elu(_col(a, p["dec"][2], prec))
+            dec_t = _row(a, p["dec"][3], prec)
+            # phi_x of the re-normalized generation: col -> row -> col+gather
+            xn = (dec_t - p["mean_mel"]) / p["std_mel"]
+            b_ = elu(_col(xn, p["phi_x"][0], prec))
+            b_ = elu(_row(b_, p["phi_x"][1], prec))
+            b_ = elu(_col(b_, p["phi_x"][2], prec))
+            phi_x_gen = jax.lax.all_gather(b_, MODEL_AXIS, axis=-1, tiled=True)
+            # GRU, column-parallel per gate (local hidden slice out)
+            x_in = jnp.concatenate([phi_x_gen, phi_z_t], -1)
+            gates = {}
+            for g in ("r", "z", "n"):
+                gi = jnp.matmul(x_in, p["gru_ih"][g], precision=prec) + p["gru_bih"][g]
+                gh = jnp.matmul(h_full_t, p["gru_hh"][g], precision=prec) + p["gru_bhh"][g]
+                gates[g] = (gi, gh)
+            r = jax.nn.sigmoid(gates["r"][0] + gates["r"][1])
+            zg = jax.nn.sigmoid(gates["z"][0] + gates["z"][1])
+            n = jnp.tanh(gates["n"][0] + r * gates["n"][1])
+            h_next_loc = (1.0 - zg) * n + zg * h_loc
+            return h_next_loc, dec_t
+
+        D = jax.lax.axis_size(MODEL_AXIS)
+        idx = jax.lax.axis_index(MODEL_AXIS)
+        Hd = h_full.shape[-1] // D
+        h_loc = jax.lax.dynamic_slice_in_dim(h_full, idx * Hd, Hd, axis=-1)
+        h_loc, dec_seq = jax.lax.scan(
+            step, h_loc.astype(cfg.dtype), jnp.swapaxes(phi_z, 0, 1)
+        )
+        h_final = jax.lax.all_gather(h_loc, MODEL_AXIS, axis=-1, tiled=True)
+        return jnp.swapaxes(dec_seq, 0, 1), h_final
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(specs, P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return fn(tp_params, z, h0)
+
+
+def decode_tp_jit(tp_params, cfg, z, h0, mesh):
+    """Jitted entry (compile cache keyed on cfg/mesh via static closure)."""
+    f = jax.jit(functools.partial(decode_tp, cfg=cfg, mesh=mesh))
+    return f(tp_params, z=z, h0=h0)

@@ -1,4 +1,7 @@
 """End-to-end demo: the committed demo checkpoints (chkpts/) through the public API."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np, scipy.signal
 from scipy.io import wavfile
 import jax

@@ -295,8 +295,13 @@ def test_split_programs_match_two_program_step(rng):
                           fmax=4000.0, freeze_step=0)
     y = (rng.standard_normal((4, tcfg.segment_size)) * 0.3).astype(np.float32)
 
-    t1 = VocoderGANTrainer(cfg, tcfg, seed=7)
-    t2 = VocoderGANTrainer(cfg, tcfg, seed=7, split_programs=True)
+    # batch 4 on a 4-device mesh (the default mesh takes all 8 virtual
+    # devices and a batch-sharded input must divide the data axis)
+    from bvsc_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(min(4, len(jax.devices())))
+    t1 = VocoderGANTrainer(cfg, tcfg, seed=7, mesh=mesh)
+    t2 = VocoderGANTrainer(cfg, tcfg, seed=7, split_programs=True, mesh=mesh)
     m1 = t1.step_on_audio(y)
     m2 = t2.step_on_audio(y)
 

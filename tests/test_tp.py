@@ -1,0 +1,72 @@
+"""Tensor-parallel BVRNN decode == single-device decode on the virtual mesh.
+
+The TP scheme (parallel/tp.py) is mathematically identical to
+``bvrnn.decode`` up to f32 summation order: row-parallel layers split the
+contraction across devices and psum the partials.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bvsc_tpu.models import bvrnn as jbvrnn
+from bvsc_tpu.parallel.tp import (
+    decode_tp,
+    make_tp_mesh,
+    prepare_tp_params,
+    shard_tp_params,
+)
+
+H_DIM, Z_DIM, X_DIM, B, T = 64, 16, 8, 2, 12
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return jbvrnn.BVRNNConfig(
+        x_dim=X_DIM, h_dim=H_DIM, z_dim=Z_DIM,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    p = jbvrnn.init_bvrnn_params(jax.random.key(0), cfg)
+    # non-trivial mel stats so the re-normalization path is exercised
+    p["mean_mel"] = jnp.linspace(-6.0, -4.0, X_DIM)
+    p["std_mel"] = jnp.linspace(1.0, 3.0, X_DIM)
+    return p
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_decode_tp_matches_single_device(cfg, params, rng, n_dev):
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs virtual multi-device harness")
+    z = jnp.asarray(rng.integers(0, 2, (B, T, Z_DIM)).astype(np.float32))
+    h0 = jnp.zeros((B, H_DIM), jnp.float32)
+
+    ref_mel, ref_h = jbvrnn.decode(params, cfg, z, h0)
+
+    mesh = make_tp_mesh(n_dev)
+    tpp = shard_tp_params(mesh, prepare_tp_params(params))
+    mel, h = decode_tp(tpp, cfg, z, h0, mesh)
+
+    np.testing.assert_allclose(np.asarray(mel), np.asarray(ref_mel),
+                               atol=2e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h),
+                               atol=2e-5, rtol=0)
+
+
+def test_decode_tp_jits(cfg, params, rng):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual multi-device harness")
+    import functools
+
+    z = jnp.asarray(rng.integers(0, 2, (B, T, Z_DIM)).astype(np.float32))
+    h0 = jnp.zeros((B, H_DIM), jnp.float32)
+    mesh = make_tp_mesh(4)
+    tpp = shard_tp_params(mesh, prepare_tp_params(params))
+    f = jax.jit(functools.partial(decode_tp, cfg=cfg, mesh=mesh))
+    out1, _ = f(tpp, z=z, h0=h0)
+    out2, _ = f(tpp, z=z, h0=h0)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
