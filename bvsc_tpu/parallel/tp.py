@@ -64,6 +64,7 @@ def prepare_tp_params(params) -> dict:
         "dec": params["dec"],
         "phi_x": params["phi_x"],
         "phi_z": params["phi_z"],
+        "enc": params["enc"],
         "gru_ih": gates(gru["w_ih"]),
         "gru_hh": gates(gru["w_hh"]),
         "gru_bih": gates(gru["b_ih"]),
@@ -97,6 +98,12 @@ def tp_param_specs() -> dict:
         ],
         # phi_z is computed replicated (hoisted once per sequence)
         "phi_z": [{"w": repl, "b": repl} for _ in range(3)],
+        # enc: [2H->H col] [H->H row] [H->z col (+gather over z)]
+        "enc": [
+            {"w": col_w, "b": col_b},
+            {"w": row_w, "b": repl},
+            {"w": col_w, "b": col_b},
+        ],
         "gru_ih": {k: col_w for k in ("r", "z", "n")},
         "gru_hh": {k: col_w for k in ("r", "z", "n")},
         "gru_bih": {k: col_b for k in ("r", "z", "n")},
@@ -131,6 +138,43 @@ def _row(x_loc, p, precision):
     return jax.lax.psum(part, MODEL_AXIS) + p["b"]
 
 
+def _dec_and_gru(p, cfg, phi_z_t, h_full_t, h_loc):
+    """Shared closed-loop tail: dec MLP -> phi_x(gen) -> GRU.
+
+    Returns (dec_t full, h_next local slice)."""
+    prec = cfg.precision
+    elu = jax.nn.elu
+    # dec: col -> row -> col -> row
+    a = elu(_col(jnp.concatenate([phi_z_t, h_full_t], -1), p["dec"][0], prec))
+    a = elu(_row(a, p["dec"][1], prec))
+    a = elu(_col(a, p["dec"][2], prec))
+    dec_t = _row(a, p["dec"][3], prec)
+    # phi_x of the re-normalized generation: col -> row -> col+gather
+    xn = (dec_t - p["mean_mel"]) / p["std_mel"]
+    b_ = elu(_col(xn, p["phi_x"][0], prec))
+    b_ = elu(_row(b_, p["phi_x"][1], prec))
+    b_ = elu(_col(b_, p["phi_x"][2], prec))
+    phi_x_gen = jax.lax.all_gather(b_, MODEL_AXIS, axis=-1, tiled=True)
+    # GRU, column-parallel per gate (local hidden slice out)
+    x_in = jnp.concatenate([phi_x_gen, phi_z_t], -1)
+    gates = {}
+    for g in ("r", "z", "n"):
+        gi = jnp.matmul(x_in, p["gru_ih"][g], precision=prec) + p["gru_bih"][g]
+        gh = jnp.matmul(h_full_t, p["gru_hh"][g], precision=prec) + p["gru_bhh"][g]
+        gates[g] = (gi, gh)
+    r = jax.nn.sigmoid(gates["r"][0] + gates["r"][1])
+    zg = jax.nn.sigmoid(gates["z"][0] + gates["z"][1])
+    n = jnp.tanh(gates["n"][0] + r * gates["n"][1])
+    return dec_t, (1.0 - zg) * n + zg * h_loc
+
+
+def _local_h_slice(h_full):
+    D = jax.lax.axis_size(MODEL_AXIS)
+    idx = jax.lax.axis_index(MODEL_AXIS)
+    Hd = h_full.shape[-1] // D
+    return jax.lax.dynamic_slice_in_dim(h_full, idx * Hd, Hd, axis=-1)
+
+
 def decode_tp(
     tp_params, cfg, z: jax.Array, h0: jax.Array, mesh: Mesh
 ) -> tuple[jax.Array, jax.Array]:
@@ -143,42 +187,19 @@ def decode_tp(
     specs = tp_param_specs()
 
     def body(p, z_full, h_full):
-        elu = jax.nn.elu
         # hoisted phi_z, replicated (small: z_dim -> H once per sequence)
-        phi_z = bvrnn_mod._mlp_elu(p["phi_z"], z_full.astype(cfg.dtype), prec, elu)
+        phi_z = bvrnn_mod._mlp_elu(
+            p["phi_z"], z_full.astype(cfg.dtype), prec, jax.nn.elu
+        )
 
         def step(h_loc, phi_z_t):
             h_full_t = jax.lax.all_gather(h_loc, MODEL_AXIS, axis=-1, tiled=True)
-            # dec: col -> row -> col -> row
-            a = elu(_col(jnp.concatenate([phi_z_t, h_full_t], -1), p["dec"][0], prec))
-            a = elu(_row(a, p["dec"][1], prec))
-            a = elu(_col(a, p["dec"][2], prec))
-            dec_t = _row(a, p["dec"][3], prec)
-            # phi_x of the re-normalized generation: col -> row -> col+gather
-            xn = (dec_t - p["mean_mel"]) / p["std_mel"]
-            b_ = elu(_col(xn, p["phi_x"][0], prec))
-            b_ = elu(_row(b_, p["phi_x"][1], prec))
-            b_ = elu(_col(b_, p["phi_x"][2], prec))
-            phi_x_gen = jax.lax.all_gather(b_, MODEL_AXIS, axis=-1, tiled=True)
-            # GRU, column-parallel per gate (local hidden slice out)
-            x_in = jnp.concatenate([phi_x_gen, phi_z_t], -1)
-            gates = {}
-            for g in ("r", "z", "n"):
-                gi = jnp.matmul(x_in, p["gru_ih"][g], precision=prec) + p["gru_bih"][g]
-                gh = jnp.matmul(h_full_t, p["gru_hh"][g], precision=prec) + p["gru_bhh"][g]
-                gates[g] = (gi, gh)
-            r = jax.nn.sigmoid(gates["r"][0] + gates["r"][1])
-            zg = jax.nn.sigmoid(gates["z"][0] + gates["z"][1])
-            n = jnp.tanh(gates["n"][0] + r * gates["n"][1])
-            h_next_loc = (1.0 - zg) * n + zg * h_loc
+            dec_t, h_next_loc = _dec_and_gru(p, cfg, phi_z_t, h_full_t, h_loc)
             return h_next_loc, dec_t
 
-        D = jax.lax.axis_size(MODEL_AXIS)
-        idx = jax.lax.axis_index(MODEL_AXIS)
-        Hd = h_full.shape[-1] // D
-        h_loc = jax.lax.dynamic_slice_in_dim(h_full, idx * Hd, Hd, axis=-1)
         h_loc, dec_seq = jax.lax.scan(
-            step, h_loc.astype(cfg.dtype), jnp.swapaxes(phi_z, 0, 1)
+            step, _local_h_slice(h_full).astype(cfg.dtype),
+            jnp.swapaxes(phi_z, 0, 1),
         )
         h_final = jax.lax.all_gather(h_loc, MODEL_AXIS, axis=-1, tiled=True)
         return jnp.swapaxes(dec_seq, 0, 1), h_final
@@ -190,6 +211,61 @@ def decode_tp(
         check_rep=False,
     )
     return fn(tp_params, z, h0)
+
+
+def encode_tp(
+    tp_params, cfg, y: jax.Array, var_bitrate: jax.Array, h0: jax.Array,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    """Tensor-parallel greedy encode (semantics of
+    ``bvrnn.encode_with_state``): enc MLP col -> row -> col(+gather over
+    the z axis), then the shared closed-loop tail.
+
+    y: (B, T, x_dim) mels; var_bitrate: (B, T) bits/frame; h0: (B, h_dim).
+    Returns (codes (B, T, z_dim), final h), both replicated.  Requires
+    z_dim and h_dim divisible by the model-axis size.
+    """
+    prec = cfg.precision
+    specs = tp_param_specs()
+
+    def body(p, y_full, bits_full, h_full):
+        elu = jax.nn.elu
+        ynorm = (y_full.astype(cfg.dtype) - p["mean_mel"]) / p["std_mel"]
+        # hoisted phi_x of the input, TP-sharded: col -> row -> col+gather
+        a = elu(_col(ynorm, p["phi_x"][0], prec))
+        a = elu(_row(a, p["phi_x"][1], prec))
+        a = elu(_col(a, p["phi_x"][2], prec))
+        phi_x = jax.lax.all_gather(a, MODEL_AXIS, axis=-1, tiled=True)
+        mask = bvrnn_mod.bit_mask_from_bitrate(bits_full, cfg.z_dim).astype(cfg.dtype)
+
+        def step(h_loc, xs):
+            phi_x_t, mask_t = xs
+            h_full_t = jax.lax.all_gather(h_loc, MODEL_AXIS, axis=-1, tiled=True)
+            e = elu(_col(jnp.concatenate([phi_x_t, h_full_t], -1), p["enc"][0], prec))
+            e = elu(_row(e, p["enc"][1], prec))
+            e = _col(e, p["enc"][2], prec)  # local z slice, pre-sigmoid
+            enc_t = jax.nn.sigmoid(
+                jax.lax.all_gather(e, MODEL_AXIS, axis=-1, tiled=True)
+            )
+            z_t = bvrnn_mod._apply_bit_mask(jnp.round(enc_t), mask_t)
+            phi_z_t = bvrnn_mod._mlp_elu(p["phi_z"], z_t, prec, elu)
+            _, h_next_loc = _dec_and_gru(p, cfg, phi_z_t, h_full_t, h_loc)
+            return h_next_loc, z_t
+
+        xs = (jnp.swapaxes(phi_x, 0, 1), jnp.swapaxes(mask, 0, 1))
+        h_loc, z_seq = jax.lax.scan(
+            step, _local_h_slice(h_full).astype(cfg.dtype), xs
+        )
+        h_final = jax.lax.all_gather(h_loc, MODEL_AXIS, axis=-1, tiled=True)
+        return jnp.swapaxes(z_seq, 0, 1), h_final
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(specs, P(), P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return fn(tp_params, y, var_bitrate, h0)
 
 
 def decode_tp_jit(tp_params, cfg, z, h0, mesh):

@@ -70,3 +70,25 @@ def test_decode_tp_jits(cfg, params, rng):
     out1, _ = f(tpp, z=z, h0=h0)
     out2, _ = f(tpp, z=z, h0=h0)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_encode_tp_matches_single_device(cfg, params, rng):
+    """TP encode produces bit-identical codes (rounding thresholds are
+    ~1e-7 away from any prob under f32 summation-order differences)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs virtual multi-device harness")
+    y = jnp.asarray(rng.standard_normal((B, T, X_DIM)).astype(np.float32) - 5.0)
+    bits = jnp.full((B, T), float(Z_DIM), jnp.float32)
+    h0 = jnp.zeros((B, H_DIM), jnp.float32)
+
+    ref_z, ref_h = jbvrnn.encode_with_state(params, cfg, y, bits, h0)
+
+    from bvsc_tpu.parallel.tp import encode_tp
+
+    mesh = make_tp_mesh(8)
+    tpp = shard_tp_params(mesh, prepare_tp_params(params))
+    z, h = encode_tp(tpp, cfg, y, bits, h0, mesh)
+
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(ref_z))
+    np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h),
+                               atol=2e-5, rtol=0)
