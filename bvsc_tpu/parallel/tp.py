@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
@@ -40,6 +41,15 @@ MODEL_AXIS = "model"
 def make_tp_mesh(n_devices: int | None = None, axis_name: str = MODEL_AXIS) -> Mesh:
     devs = jax.devices()[: n_devices or len(jax.devices())]
     return Mesh(devs, (axis_name,))
+
+
+def make_dp_tp_mesh(n_data: int, n_model: int,
+                    data_axis: str = "data",
+                    model_axis: str = MODEL_AXIS) -> Mesh:
+    """2-D mesh: streams sharded over ``data`` x weights over ``model`` —
+    the composed serving layout (batch throughput x per-stream latency)."""
+    devs = np.asarray(jax.devices()[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, (data_axis, model_axis))
 
 
 # ---------------------------------------------------------------------------
@@ -127,6 +137,14 @@ def shard_tp_params(mesh: Mesh, tp_params) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _batch_spec(mesh: Mesh) -> P:
+    """Batch-dim PartitionSpec: shard over a "data" axis when the mesh has
+    one (2-D DP x TP serving layout), replicate on a pure-model mesh.  The
+    scan body is unchanged either way — its collectives name only the
+    model axis."""
+    return P("data") if "data" in mesh.axis_names else P()
+
+
 def _col(x, p, precision):
     """Column-parallel Linear: full input, LOCAL output slice."""
     return jnp.matmul(x, p["w"], precision=precision) + p["b"]
@@ -185,6 +203,7 @@ def decode_tp(
     """
     prec = cfg.precision
     specs = tp_param_specs()
+    batch = _batch_spec(mesh)
 
     def body(p, z_full, h_full):
         # hoisted phi_z, replicated (small: z_dim -> H once per sequence)
@@ -206,8 +225,8 @@ def decode_tp(
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(specs, P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(specs, batch, batch),
+        out_specs=(batch, batch),
         check_rep=False,
     )
     return fn(tp_params, z, h0)
@@ -227,6 +246,7 @@ def encode_tp(
     """
     prec = cfg.precision
     specs = tp_param_specs()
+    batch = _batch_spec(mesh)
 
     def body(p, y_full, bits_full, h_full):
         elu = jax.nn.elu
@@ -261,8 +281,8 @@ def encode_tp(
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(specs, P(), P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(specs, batch, batch, batch),
+        out_specs=(batch, batch),
         check_rep=False,
     )
     return fn(tp_params, y, var_bitrate, h0)

@@ -92,3 +92,27 @@ def test_encode_tp_matches_single_device(cfg, params, rng):
     np.testing.assert_array_equal(np.asarray(z), np.asarray(ref_z))
     np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h),
                                atol=2e-5, rtol=0)
+
+
+def test_dp_tp_2d_mesh(cfg, params, rng):
+    """Composed DP x TP on a (data=2, model=4) mesh: streams sharded over
+    data, weights over model — codes and mel match single-device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs virtual multi-device harness")
+    from bvsc_tpu.parallel.tp import encode_tp, make_dp_tp_mesh
+
+    y = jnp.asarray(rng.standard_normal((B, T, X_DIM)).astype(np.float32) - 5.0)
+    bits = jnp.full((B, T), float(Z_DIM), jnp.float32)
+    h0 = jnp.zeros((B, H_DIM), jnp.float32)
+
+    ref_z, _ = jbvrnn.encode_with_state(params, cfg, y, bits, h0)
+    ref_mel, _ = jbvrnn.decode(params, cfg, ref_z, h0)
+
+    mesh = make_dp_tp_mesh(2, 4)
+    tpp = shard_tp_params(mesh, prepare_tp_params(params))
+    z, _ = encode_tp(tpp, cfg, y, bits, h0, mesh)
+    mel, _ = decode_tp(tpp, cfg, z, h0, mesh)
+
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(ref_z))
+    np.testing.assert_allclose(np.asarray(mel), np.asarray(ref_mel),
+                               atol=2e-5, rtol=0)
