@@ -169,10 +169,14 @@ def _dft_real_bases_np(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
 
 
-def dft_real_bases(n_fft: int) -> tuple[jax.Array, jax.Array]:
-    """Real/imag DFT bases (n_fft, 1+n_fft//2) for the matmul-DFT path (MXU)."""
-    cos_b, sin_b = _dft_real_bases_np(n_fft)
-    return jnp.asarray(cos_b), jnp.asarray(sin_b)
+def dft_real_bases(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag DFT bases (n_fft, 1+n_fft//2) for the matmul-DFT path (MXU).
+
+    Kept as HOST numpy arrays: traced jit programs embed captured constants
+    by value, and a device-resident constant costs a device->host readback
+    per trace (~seconds over this environment's 30 MB/s tunnel, paid at
+    every process start before the compile cache can even be consulted)."""
+    return _dft_real_bases_np(n_fft)
 
 
 class MelFrontend:
@@ -208,11 +212,12 @@ class MelFrontend:
         self.win_size = win_size
         self.num_mels = num_mels
         self.use_matmul_dft = use_matmul_dft
-        self.window = jnp.asarray(hann_window_periodic(win_size))
+        # host numpy constants — see dft_real_bases for why not jnp
+        self.window = np.asarray(hann_window_periodic(win_size), np.float32)
         fb = slaney_mel_filterbank(
             sampling_rate, n_fft, num_mels, fmin, sampling_rate / 2 if fmax is None else fmax
         )
-        self.mel_basis = jnp.asarray(fb)  # (n_mels, n_bins)
+        self.mel_basis = np.asarray(fb, np.float32)  # (n_mels, n_bins)
         self._dft = dft_real_bases(n_fft) if use_matmul_dft else None
 
     def num_frames(self, length: int) -> int:
