@@ -25,8 +25,6 @@ Single-chip (D=1) degenerates to the plain decode; the virtual-mesh test
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -286,9 +284,3 @@ def encode_tp(
         check_rep=False,
     )
     return fn(tp_params, y, var_bitrate, h0)
-
-
-def decode_tp_jit(tp_params, cfg, z, h0, mesh):
-    """Jitted entry (compile cache keyed on cfg/mesh via static closure)."""
-    f = jax.jit(functools.partial(decode_tp, cfg=cfg, mesh=mesh))
-    return f(tp_params, z=z, h0=h0)
