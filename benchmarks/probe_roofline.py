@@ -19,10 +19,14 @@ REPS = 64   # serial chain inside kernel to dominate overheads
 
 def mk_kernel(M):
     def k(w_ref, x_ref, o_ref):
+        # each dot depends on the previous accumulator through a cheap
+        # scalar, so no CSE/loop-invariant pass can collapse the chain
         acc = jnp.zeros((M, x_ref.shape[1]), jnp.float32)
         x = x_ref[:, :]
         for i in range(REPS):
-            acc += jax.lax.dot(w_ref[:, :], x, preferred_element_type=jnp.float32)
+            s = (acc[0, 0] * 0.0 + 1.0).astype(x.dtype)
+            acc += jax.lax.dot(w_ref[:, :] * s, x,
+                               preferred_element_type=jnp.float32)
         o_ref[:, :] = acc
     return k
 

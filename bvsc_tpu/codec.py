@@ -363,6 +363,10 @@ def _load_bvrnn_checkpoint(path: str, dtype):
             for child in tree:
                 if isinstance(child, dict) and "gru" in child and "phi_x" in child:
                     return child
+            raise ValueError(
+                f"unrecognized BVRNN checkpoint structure at {path}: restored "
+                "a sequence with no child carrying 'gru'/'phi_x' params"
+            )
         return tree
     ckpt = load_torch_checkpoint(path)
     sd = ckpt.get("vrnn", ckpt)  # reference schema {'vrnn': state_dict}
@@ -385,6 +389,11 @@ def _load_vocoder_checkpoint(path: str, vcfg, dtype):
                 if isinstance(child, dict) and "conv_pre" in child:
                     tree = child
                     break
+            else:
+                raise ValueError(
+                    f"unrecognized vocoder checkpoint structure at {path}: "
+                    "restored a sequence with no child carrying 'conv_pre'"
+                )
         # trainer checkpoints carry weight-norm (g, v) params; fold for
         # inference (reference inference.py:53 remove_weight_norm)
         if isinstance(tree, dict) and "conv_pre" in tree and "g" in tree["conv_pre"]:

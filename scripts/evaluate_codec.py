@@ -57,17 +57,15 @@ def find_wavs(root: str) -> list[str]:
 
 def load_22k(path: str) -> np.ndarray:
     import scipy.signal
-    from scipy.io import wavfile
 
-    fs, data = wavfile.read(path)
-    x = data.astype(np.float64)
+    from bvsc_tpu.data.audio import load_wav, peak_normalize
+
+    x, fs = load_wav(path)  # dtype-aware [-1, 1] float (int16/int32/float)
     if x.ndim > 1:
         x = x[:, 0]
-    x /= 32768.0
     if fs != 22050:
         x = scipy.signal.resample_poly(x, 22050, fs)
-    peak = np.max(np.abs(x))
-    return (x / peak if peak > 0 else x).astype(np.float32)
+    return peak_normalize(x).astype(np.float32)
 
 
 def main(argv=None):

@@ -25,10 +25,12 @@ if _plat == "cpu" and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-assert not jax._src.xla_bridge._backends, (
-    "a plugin initialized jax backends before conftest; platform forcing "
-    "came too late"
-)
+_backends = getattr(getattr(jax._src, "xla_bridge", None), "_backends", None)
+if _backends:  # None (attr moved in a jax upgrade) is fine; non-empty is not
+    raise RuntimeError(
+        "a plugin initialized jax backends before conftest; platform forcing "
+        "came too late"
+    )
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
