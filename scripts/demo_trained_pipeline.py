@@ -2,18 +2,16 @@
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np, scipy.signal
-from scipy.io import wavfile
+import numpy as np
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 from bvsc_tpu import BVRNNCodecModel
 from bvsc_tpu.data.audio import save_wav
 from bvsc_tpu.ops.mel import MelFrontend
+from evaluate_codec import load_22k
 
-fs, data = wavfile.read('/root/reference/mushra_results_dataset/audio/stim_15/ref.wav')  # held-out
-speech = data[:, 0].astype(np.float64) / 32768.0
-speech = scipy.signal.resample_poly(speech, 22050, fs)
-speech = (speech / np.max(np.abs(speech))).astype(np.float32)
+# stim_15 is held out from the demo-checkpoint training filelist
+speech = load_22k('/root/reference/mushra_results_dataset/audio/stim_15/ref.wav')
 
 codec = BVRNNCodecModel(
     "configs/varbitrate.toml",
