@@ -16,7 +16,7 @@ speech = load_22k('/root/reference/mushra_results_dataset/audio/stim_15/ref.wav'
 codec = BVRNNCodecModel(
     "configs/varbitrate.toml",
     bvrnn_chkpt_path="chkpts/bvsc_bvrnn_demo_step3000_f16.npz",
-    vocoder_chkpt_path="chkpts/bvsc_vocoder_demo_ftbvrnn_g_step450",
+    vocoder_chkpt_path="chkpts/bvsc_vocoder_demo_ftbvrnn_g_step2400",
 )
 out = np.asarray(codec(speech[None, :], 3000))[0]
 print("decoded:", out.shape, "finite:", np.isfinite(out).all(),
