@@ -7,7 +7,9 @@ value   = aggregate audio-seconds coded per wall-second per chip for the
           batched serving config (128 concurrent streams, BASELINE.json
           configs[4]) through the full chain: mel -> BVRNN encode @3 kbps ->
           BVRNN decode -> causal BigVGAN-tiny vocoder, in the production
-          serving configuration (single-pass bf16 MXU matmuls).
+          serving configuration (single-pass bf16 MXU matmuls; the fused
+          one-program __call__, whose encode scan emits the decoded mel via
+          the closed-loop state-sync invariant — no second decode scan).
 vs_baseline = value / 100 — the reference publishes no RTF figure ("real
           time" claim only, reference README.md:19); the north-star target
           from BASELINE.json is >100x real time per chip.
@@ -82,6 +84,12 @@ def main():
         return float(jax.tree.leaves(v)[0].sum())
 
     def full_chain(wav):
+        # the public __call__: ONE fused program (mel -> encode_decode scan
+        # -> vocoder); the encode scan's closed-loop state sync already
+        # computes the decoded mel, so no separate decode scan runs
+        return codec(wav, bitrate)
+
+    def full_chain_2prog(wav):
         codes = codec.encode(wav, bitrate)
         return codec.decode(codes, L)
 
@@ -99,11 +107,14 @@ def main():
     log(f"batched {n_streams} streams x {seconds}s: {t_batched * 1e3:.1f} ms "
         f"-> {throughput:.1f} audio-sec/sec/chip (compute, fast mode)")
 
-    # --- phase breakdown -----------------------------------------------------
+    # --- phase breakdown (two-program composition, for comparison) ----------
+    t_2prog = time_fn(full_chain_2prog, x)
     t_enc = time_fn(lambda w: codec.encode(w, bitrate), x)
     codes = codec.encode(x, bitrate)
     t_dec = time_fn(lambda c: codec.decode(c, L), codes)
-    log(f"phases: encode {t_enc * 1e3:.1f} ms, decode+vocode {t_dec * 1e3:.1f} ms")
+    log(f"two-program encode->decode: {t_2prog * 1e3:.1f} ms "
+        f"({audio_sec / t_2prog:.1f} audio-sec/sec); "
+        f"phases: encode {t_enc * 1e3:.1f} ms, decode+vocode {t_dec * 1e3:.1f} ms")
 
     # --- batched with weight-only int8 BVRNN scans ---------------------------
     # (serving config upgrade: scan weights are the HBM-resident bulk; int8
@@ -113,7 +124,7 @@ def main():
         codec_q8 = BVRNNCodecModel(precision="default", quantize="int8")
 
         def full_chain_q8(wav):
-            return codec_q8.decode(codec_q8.encode(wav, bitrate), L)
+            return codec_q8(wav, bitrate)
 
         t_batched_q8 = time_fn(full_chain_q8, x)
         agree_q8 = float(
@@ -139,7 +150,7 @@ def main():
         codec_q = BVRNNCodecModel(precision="default", quantize="int8")
 
         def full_chain_q(wav):
-            return codec_q.decode(codec_q.encode(wav, bitrate), L)
+            return codec_q(wav, bitrate)
 
         t_single_q = time_fn(full_chain_q, x1)
         log(f"single stream int8 scans: {t_single_q * 1e3:.1f} ms -> "

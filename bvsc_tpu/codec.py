@@ -163,6 +163,10 @@ class BVRNNCodecModel:
         self._decode_mel_jit = jax.jit(
             functools.partial(_decode_mel_impl, cfg=self.bvrnn_cfg)
         )
+        self._forward_jit = jax.jit(
+            functools.partial(_forward_impl, bcfg=self.bvrnn_cfg),
+            static_argnames=("frontend", "vcfg", "length", "pallas_compute"),
+        )
 
     # -- helpers ------------------------------------------------------------
 
@@ -255,10 +259,50 @@ class BVRNNCodecModel:
         mel = self._decode_mel_jit(self.bvrnn_params, codes_p)[..., :T]
         return mel[0] if squeeze else mel
 
-    def __call__(self, x, bitrate) -> jax.Array:
-        """One-shot encode+decode (reference ``bvrnn_codec_model.py:73-76``)."""
+    def __call__(self, x, bitrate, *, fused: bool = True) -> jax.Array:
+        """One-shot encode+decode (reference ``bvrnn_codec_model.py:73-76``).
+
+        By default this runs the FUSED resynthesis program: the BVRNN encode
+        scan already computes the decoded-mel trajectory as part of its
+        closed-loop state sync (reference ``bvrnn.py:204-206`` == ``:226-227``),
+        so one program does mel -> encode scan -> vocoder with no separate
+        decode scan or extra dispatch.  Codes are bit-identical to the
+        two-program path; the waveform matches
+        ``decode(encode(x, bitrate), len(x))`` to float precision (~1e-7 —
+        decode() hoists its phi_z matmul across the sequence, the fused scan
+        computes it per step; tested in test_codec/test_bvrnn).  Pass
+        ``fused=False`` to run the two-program composition instead."""
         length = np.asarray(x).shape[-1]
-        return self.decode(self.encode(x, bitrate), length)
+        if not fused:
+            return self.decode(self.encode(x, bitrate), length)
+        x = _as_device_array(x, jnp.float32)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[None, :]
+        if x.ndim != 2:
+            raise ValueError(
+                f"expected (batch, length) or (length,) waveform, got shape {x.shape}"
+            )
+        L = x.shape[1]
+        Lp = self._pad_length(L)
+        x = jnp.pad(x, ((0, 0), (0, Lp - L)))
+        n_frames = self.frontend.num_frames(L)
+        y = self._forward_jit(
+            self.bvrnn_params,
+            self.vocoder_params,
+            x,
+            jnp.asarray(self.bits_per_frame(bitrate), jnp.float32),
+            jnp.asarray(n_frames, jnp.int32),
+            self._voc_kernel_blocks,
+            frontend=self.frontend,
+            vcfg=self.conf.vocoder_config,
+            length=Lp,
+            pallas_compute=(
+                "bf16" if self.precision == jax.lax.Precision.DEFAULT else "f32"
+            ),
+        )
+        y = y[:, :length]
+        return y[0] if squeeze else y
 
     forward = __call__
 
@@ -284,6 +328,42 @@ def _encode_impl(params, x, bits_per_frame, *, cfg, frontend):
     h0 = jnp.zeros((B, cfg.h_dim), cfg.dtype)
     codes, _ = bvrnn_mod.encode_with_state(params, cfg, mel, bits, h0)
     return codes
+
+
+def _forward_impl(
+    params, voc_params, x, bits_per_frame, n_frames, kernel_blocks=None, *,
+    bcfg, vcfg, frontend, length, pallas_compute="bf16",
+):
+    """Fused resynthesis: mel -> encode_decode scan -> vocoder, one program.
+
+    ``n_frames`` (traced) marks the frames produced by the unpadded input;
+    later frames (bucket padding) are forced to 0.5-codes inside the scan so
+    the decoded trajectory matches the two-program path exactly (``decode``
+    0.5-pads trimmed codes the same way)."""
+    mel = frontend(x * SCALING)  # (B, M, T)
+    mel = jnp.swapaxes(mel, 1, 2)  # (B, T, M)
+    B, T, _ = mel.shape
+    bits = jnp.broadcast_to(bits_per_frame, (B, T))
+    valid = (jnp.arange(T)[None, :] < n_frames).astype(bcfg.dtype)
+    valid = jnp.broadcast_to(valid, (B, T))
+    h0 = jnp.zeros((B, bcfg.h_dim), bcfg.dtype)
+    _, dec_mel, _ = bvrnn_mod.encode_decode(
+        params, bcfg, mel, bits, h0, frame_valid=valid
+    )
+    dec_mel = jnp.swapaxes(dec_mel, 1, 2)  # (B, M, T)
+    if kernel_blocks is not None:
+        wav = voc_mod.generator_apply_pallas(
+            voc_params, kernel_blocks, vcfg, dec_mel, length,
+            precision=bcfg.precision,
+            compute_dtype=(
+                jnp.bfloat16 if pallas_compute == "bf16" else jnp.float32
+            ),
+        )
+    else:
+        wav = voc_mod.generator_apply(
+            voc_params, vcfg, dec_mel, length, precision=bcfg.precision,
+        )
+    return wav[:, 0, :] / SCALING
 
 
 def _decode_mel_impl(params, codes, *, cfg):

@@ -268,6 +268,59 @@ def encode_with_state(
     return jnp.swapaxes(z_seq, 0, 1), h_final
 
 
+def encode_decode(
+    params: Params,
+    cfg: BVRNNConfig,
+    y: jax.Array,
+    var_bitrate: jax.Array | None,
+    h: jax.Array,
+    frame_valid: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused encode+decode in ONE scan: (codes, decoded mel, final h).
+
+    The closed-loop state-sync invariant makes this exact, not approximate:
+    ``encode`` already advances its GRU with the *generated* features of its
+    own ``dec_t`` (reference ``bvrnn.py:204-206``), which is precisely what
+    ``decode`` does (``:226-227``) — so the ``dec_t`` computed inside the
+    encoder scan IS ``decode()``'s output for the emitted codes, bit for bit
+    (asserted by ``tests/test_bvrnn.py::test_encode_decode_state_sync``).  A
+    resynthesis call (``BVRNNCodecModel.__call__``) therefore never needs to
+    re-run the decode scan.
+
+    frame_valid: optional (B, T) 0/1 mask; invalid frames have their codes
+    forced to the uninformative 0.5 midpoint *inside* the scan, so the
+    decoded trajectory matches a separate ``decode`` call on codes that were
+    trimmed to the valid frames and re-padded with 0.5 (the padded-bucket
+    convention of the codec front door).
+    """
+    prec = cfg.precision
+    ynorm = _normalize(params, y.astype(cfg.dtype))
+    phi_x = phi_x_apply(params, ynorm, prec)
+    if cfg.var_bit:
+        assert var_bitrate is not None
+        mask = bit_mask_from_bitrate(var_bitrate, cfg.z_dim).astype(cfg.dtype)
+    else:
+        mask = jnp.ones((y.shape[0], y.shape[1], cfg.z_dim), cfg.dtype)
+    if frame_valid is not None:
+        mask = mask * frame_valid.astype(cfg.dtype)[:, :, None]
+
+    def step(h, xs):
+        phi_x_t, mask_t = xs
+        enc_t = enc_apply(params, jnp.concatenate([phi_x_t, h], -1), prec)
+        z_t = _apply_bit_mask(jnp.round(enc_t), mask_t)
+        phi_z_t = phi_z_apply(params, z_t, prec)
+        dec_t = dec_apply(params, jnp.concatenate([phi_z_t, h], -1), prec)
+        phi_x_gen = phi_x_apply(params, _normalize(params, dec_t), prec)
+        h_next = gru_step(
+            params["gru"], jnp.concatenate([phi_x_gen, phi_z_t], -1), h, prec
+        )
+        return h_next, (z_t, dec_t)
+
+    xs = (jnp.swapaxes(phi_x, 0, 1), jnp.swapaxes(mask, 0, 1))
+    h_final, (z_seq, dec_seq) = jax.lax.scan(step, h.astype(cfg.dtype), xs)
+    return jnp.swapaxes(z_seq, 0, 1), jnp.swapaxes(dec_seq, 0, 1), h_final
+
+
 def decode(
     params: Params, cfg: BVRNNConfig, z: jax.Array, h: jax.Array
 ) -> tuple[jax.Array, jax.Array]:

@@ -120,6 +120,49 @@ def test_encode_decode_state_sync(jcfg, jparams, data):
     np.testing.assert_array_equal(np.asarray(mel_dec), np.asarray(mel2))
 
 
+def test_encode_decode_fused_matches_composed(jcfg, jparams, data):
+    """The fused one-scan encode_decode must reproduce encode_with_state's
+    codes and final state bit-for-bit (the scan bodies are op-identical),
+    and decode's mel trajectory to float precision — decode() hoists its
+    phi_z matmul over the whole sequence while the fused scan computes it
+    per step, and batched-vs-per-step matmul tiling differs by ~1 ULP.
+    Also covered: trailing frames marked invalid (the codec's
+    bucket-padding convention: those frames' codes are 0.5-forced in-scan,
+    matching decode() on codes that were trimmed and 0.5-re-padded)."""
+    y, bits = data
+    h0 = jnp.zeros((B, H_DIM))
+    yj, bj = jnp.asarray(y), jnp.asarray(bits)
+
+    z_ref, h_ref = jbvrnn.encode_with_state(jparams, jcfg, yj, bj, h0)
+    mel_ref, _ = jbvrnn.decode(jparams, jcfg, z_ref, h0)
+    z, mel, h_fin = jbvrnn.encode_decode(jparams, jcfg, yj, bj, h0)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z_ref))
+    np.testing.assert_allclose(
+        np.asarray(mel), np.asarray(mel_ref), atol=1e-6, rtol=0
+    )
+    np.testing.assert_array_equal(np.asarray(h_fin), np.asarray(h_ref))
+
+    # invalid tail frames == decode over trimmed + 0.5-padded codes
+    T = y.shape[1]
+    n_valid = T - 3
+    valid = (jnp.arange(T)[None, :] < n_valid).astype(jnp.float32)
+    valid = jnp.broadcast_to(valid, (B, T))
+    z_v, mel_v, _ = jbvrnn.encode_decode(
+        jparams, jcfg, yj, bj, h0, frame_valid=valid
+    )
+    z_pad = jnp.concatenate(
+        [z_ref[:, :n_valid], jnp.full((B, 3, z_ref.shape[-1]), 0.5)], axis=1
+    )
+    mel_pad, _ = jbvrnn.decode(jparams, jcfg, z_pad, h0)
+    np.testing.assert_array_equal(
+        np.asarray(z_v[:, :n_valid]), np.asarray(z_ref[:, :n_valid])
+    )
+    np.testing.assert_array_equal(np.asarray(z_v), np.asarray(z_pad))
+    np.testing.assert_allclose(
+        np.asarray(mel_v), np.asarray(mel_pad), atol=1e-6, rtol=0
+    )
+
+
 @pytest.mark.slow
 def test_chunked_encode_equals_oneshot(jcfg, jparams, data):
     y, bits = data

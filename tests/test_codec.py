@@ -108,11 +108,30 @@ def test_full_chain_parity(small_codec_and_refs, rng):
 
 
 def test_call_equals_two_step(small_codec_and_refs, rng):
+    """The fused one-program __call__ (encode_decode scan, no separate decode
+    scan) computes the same math as the two-program composition — the
+    state-sync invariant made into a whole-codec property.  The two jitted
+    programs fuse differently, so waveforms agree to float precision (~1e-7
+    reassociation noise), while the scan-level equivalence is asserted
+    bitwise in test_bvrnn.py::test_encode_decode_fused_matches_composed.
+    Lengths are chosen to exercise bucket padding (the in-scan 0.5-forced
+    frames)."""
     codec, *_ = small_codec_and_refs
-    x = (rng.standard_normal((1, 10000)) * 0.2).astype(np.float32)
-    one = np.asarray(codec(x, 2000))
-    two = np.asarray(codec.decode(codec.encode(x, 2000), 10000))
-    np.testing.assert_array_equal(one, two)
+    for L, B in ((10000, 1), (4096 * 16, 2), (4099, 3)):
+        x = (rng.standard_normal((B, L)) * 0.2).astype(np.float32)
+        one = np.asarray(codec(x, 2000))
+        two = np.asarray(codec(x, 2000, fused=False))
+        assert one.shape == two.shape == (B, L)
+        np.testing.assert_allclose(one, two, atol=2e-6)
+        np.testing.assert_array_equal(
+            two, np.asarray(codec.decode(codec.encode(x, 2000), L))
+        )
+    # 1-D promotion parity between the fused and two-step paths
+    x1 = (rng.standard_normal(6000) * 0.2).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(codec(x1, 2000)), np.asarray(codec(x1, 2000, fused=False)),
+        atol=2e-6,
+    )
 
 
 @pytest.mark.slow
