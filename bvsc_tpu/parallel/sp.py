@@ -50,6 +50,15 @@ def make_sp_mesh(n_devices: int | None = None, axis_name: str = SEQ_AXIS) -> Mes
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def make_dp_sp_mesh(n_data: int, n_seq: int,
+                    data_axis: str = "data",
+                    seq_axis: str = SEQ_AXIS) -> Mesh:
+    """2-D mesh sharding streams x time: batch over ``data``, frames over
+    ``seq`` (the composed offline-synthesis layout)."""
+    devs = np.asarray(jax.devices()[: n_data * n_seq]).reshape(n_data, n_seq)
+    return Mesh(devs, (data_axis, seq_axis))
+
+
 def _shift_right(v: jax.Array, axis_name: str, n_shards: int) -> jax.Array:
     """Each shard receives its LEFT neighbor's tensor; shard 0 receives
     zeros (ppermute's no-source semantics == the causal pad boundary)."""
@@ -172,8 +181,9 @@ def generator_apply_sp(
     def local(p, m):
         return _generator_sp_local(p, cfg, m, axis_name, n_shards, precision)
 
-    specs_in = (P(), P(None, None, axis_name))
-    fn = shard_map(
-        local, mesh=mesh, in_specs=specs_in, out_specs=P(None, None, axis_name)
-    )
+    # compose with stream batching on a 2-D (data x seq) mesh: shard the
+    # batch dim over "data" when the mesh has that axis (cf. tp._batch_spec)
+    bdim = "data" if "data" in mesh.axis_names else None
+    io_spec = P(bdim, None, axis_name)
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), io_spec), out_specs=io_spec)
     return fn(params, mel)

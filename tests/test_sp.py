@@ -87,3 +87,28 @@ def test_sp_rejects_noncausal(cfg, params):
     mel = jnp.zeros((1, cfg.num_mels, 16), jnp.float32)
     with pytest.raises(ValueError, match="causal"):
         generator_apply_sp(params, sym, mel, mesh)
+
+
+def test_sp_composes_with_data_parallel(cfg, params, rng):
+    """2-D (data x seq) mesh: streams sharded over data, frames over seq —
+    must equal the one-shot generator exactly like the 1-D case."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs virtual multi-device harness")
+    from bvsc_tpu.parallel.sp import make_dp_sp_mesh
+
+    mesh = make_dp_sp_mesh(2, 4)
+    T = 32
+    up = cfg.total_upsample
+    mel = jnp.asarray(rng.standard_normal((4, cfg.num_mels, T)), jnp.float32)
+    ref = np.asarray(
+        jvoc.generator_apply(
+            params, cfg, mel, T * up, precision=jax.lax.Precision.HIGHEST
+        )
+    )
+    got = np.asarray(
+        generator_apply_sp(
+            params, cfg, mel, mesh, precision=jax.lax.Precision.HIGHEST
+        )
+    )
+    assert got.shape == ref.shape == (4, 1, T * up)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
