@@ -71,3 +71,26 @@ def test_reference_fixed64_toml_loads_unchanged():
     # everything else identical to the varBitRate config (verified upstream diff)
     assert (c.h_dim, c.z_dim, c.fs, c.hopsize) == (1024, 64, 22050, 256)
     assert c.vocoder_config.upsample_rates == (8, 8, 2, 2)
+
+
+def test_reference_vocoder_json_loads_unchanged():
+    """The standalone vocoder JSON (reference ``env.py:8-11`` AttrDict load,
+    ``train.py:424-425``) must parse as-is too."""
+    from bvsc_tpu.config import load_vocoder_json
+
+    v = load_vocoder_json(
+        "/root/reference/third_party/BigVGAN/bigvgan_base_22khz_80band.json"
+    )
+    assert v.resblock == "1"
+    assert v.num_mels == 80
+    assert v.upsample_rates == (8, 8, 2, 2)
+    assert v.upsample_kernel_sizes == (16, 16, 4, 4)
+    assert v.upsample_initial_channel == 512  # base model, not the tiny one
+    assert v.resblock_kernel_sizes == (3, 7, 11)
+    assert v.resblock_dilation_sizes == ((1, 3, 5),) * 3
+    assert v.activation == "snakebeta" and v.snake_logscale is True
+    assert v.resolutions == ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
+    assert v.mpd_reshapes == (2, 3, 5, 7, 11)
+    assert v.use_spectral_norm is False
+    assert v.discriminator_channel_mult == 1
+    assert v.total_upsample == 256
