@@ -158,6 +158,14 @@ def main():
         c_q = np.asarray(codec_q.encode(x[:8], bitrate))
         c_f = np.asarray(codec.encode(x[:8], bitrate))
         log(f"int8 code agreement vs fast-f32: {(c_q == c_f).mean() * 100:.3f}%")
+
+        # mixed mode: enc+phi_x bf16, rest int8 (higher code agreement)
+        codec_qm = BVRNNCodecModel(precision="default", quantize="int8_mixed")
+        t_single_qm = time_fn(lambda w: codec_qm(w, bitrate), x1)
+        c_qm = np.asarray(codec_qm.encode(x[:8], bitrate))
+        log(f"single stream int8_mixed scans: {t_single_qm * 1e3:.1f} ms -> "
+            f"RTF {seconds / t_single_qm:.1f}x "
+            f"(agreement {(c_qm == c_f).mean() * 100:.3f}%)")
     except Exception as e:  # pragma: no cover
         log("int8 path skipped:", e)
 

@@ -63,9 +63,11 @@ class BVRNNCodecModel:
         'default' (single-pass bf16 MXU — ~4x faster scans / ~2.5x faster
         vocoder; codes may differ in rare near-0.5 rounding cases).
 
-        quantize: None or 'int8' — weight-only int8 BVRNN weights
-        (per-channel scales; ~2.5x faster HBM-bound single-stream scans,
-        ~99.8% code agreement; see ops.quant).
+        quantize: None, 'int8', or 'int8_mixed' — weight-only int8 BVRNN
+        weights (per-channel scales; ~2.5x faster HBM-bound single-stream
+        scans, ~99.85% code agreement).  'int8_mixed' keeps the
+        code-critical enc+phi_x stacks in bf16 (~99.95% agreement for ~20%
+        more weight traffic; see ops.quant).
 
         use_pallas: run the vocoder residual stacks as fused, space-to-depth
         folded Pallas TPU kernels (``ops.pallas_voc``).  Default OFF: on the
@@ -132,6 +134,12 @@ class BVRNNCodecModel:
             from bvsc_tpu.ops.quant import quantize_bvrnn_params
 
             self.bvrnn_params = quantize_bvrnn_params(self.bvrnn_params)
+        elif quantize == "int8_mixed":
+            # int8 scans with the code-critical enc+phi_x stacks in bf16:
+            # higher code agreement for ~20% more weight traffic (ops.quant)
+            from bvsc_tpu.ops.quant import quantize_bvrnn_params_mixed
+
+            self.bvrnn_params = quantize_bvrnn_params_mixed(self.bvrnn_params)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
 

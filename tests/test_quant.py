@@ -61,3 +61,42 @@ def test_codec_int8_option(rng):
     assert out.shape == (1, 5000) and np.isfinite(out).all()
     # int8 weights actually stored as int8
     assert codec.bvrnn_params["gru"]["w_ih"]["q"].dtype == jnp.int8
+
+
+@pytest.mark.slow
+def test_mixed_quantization_agreement_ordering(rng):
+    """int8_mixed (enc+phi_x bf16, rest int8) must track f32 codes at least
+    as well as all-int8 — the measured closed-loop flip sources are the
+    pre-round enc probabilities and the phi_x re-embedding of dec_t
+    (reference bvrnn.py:191,204-206)."""
+    from bvsc_tpu.ops.quant import quantize_bvrnn_params_mixed
+
+    cfg = M.BVRNNConfig(x_dim=16, h_dim=48, z_dim=12)
+    params = M.init_bvrnn_params(jax.random.key(0), cfg)
+    y = jnp.asarray(rng.standard_normal((4, 80, 16)).astype(np.float32))
+    bits = jnp.full((4, 80), 8.0)
+    h0 = jnp.zeros((4, 48))
+    c_f, _ = M.encode(params, cfg, y, bits, h0)
+    c_q, _ = M.encode(quantize_bvrnn_params(params), cfg, y, bits, h0)
+    c_m, _ = M.encode(quantize_bvrnn_params_mixed(params), cfg, y, bits, h0)
+    a_q = (np.asarray(c_q) == np.asarray(c_f)).mean()
+    a_m = (np.asarray(c_m) == np.asarray(c_f)).mean()
+    assert a_m >= a_q - 0.005, (a_m, a_q)
+    assert a_m > 0.97, a_m
+    # bf16 stacks actually stored as bf16, the rest as int8
+    qp = quantize_bvrnn_params_mixed(params)
+    assert qp["enc"][0]["w"].dtype == jnp.bfloat16
+    assert qp["phi_x"][0]["w"].dtype == jnp.bfloat16
+    assert qp["dec"][0]["w"]["q"].dtype == jnp.int8
+
+
+@pytest.mark.slow
+def test_codec_int8_mixed_option(rng):
+    from bvsc_tpu.codec import BVRNNCodecModel
+    from test_codec import small_conf
+
+    codec = BVRNNCodecModel(config=small_conf(), seed=3, length_bucket=16,
+                            quantize="int8_mixed")
+    x = (rng.standard_normal((1, 5000)) * 0.3).astype(np.float32)
+    out = np.asarray(codec(x, 3000))
+    assert out.shape == (1, 5000) and np.isfinite(out).all()
