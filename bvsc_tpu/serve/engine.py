@@ -49,9 +49,15 @@ def _fused_tick(
 ):
     """ONE dispatch advancing every active slot by one 256-sample frame.
 
-    state: {window (B, 1024), enc_h (B, h), dec_h (B, h), voc (pytree)};
+    state: {window (B, 1024), h (B, h_dim), voc (pytree)};
     chunk: (B, hop) new samples; active: (B,) bool mask.
     Returns (new_state, codes (B, z), wav (B, hop)).
+
+    One GRU state serves both ends: the closed-loop state-sync invariant
+    (reference ``bvrnn.py:204-206`` == ``:226-227``) makes the encoder and
+    decoder hidden trajectories identical given the codes, so the fused
+    ``encode_decode`` step computes codes AND the decoded mel in one pass —
+    half the per-tick BVRNN matmuls of an encode step + decode step.
     """
     hop = chunk.shape[-1]
     window = jnp.concatenate([state["window"][:, hop:], chunk], axis=-1)
@@ -63,10 +69,9 @@ def _fused_tick(
     mag = jnp.sqrt(re * re + im * im + 1e-9)  # (B, bins)
     mel = dynamic_range_compression(mag @ frontend.mel_basis.T)  # (B, M)
 
-    codes, enc_h = bvrnn_mod.encode_with_state(
-        params, bcfg, mel[:, None, :], bits[:, None], state["enc_h"]
+    codes, mel_hat, h = bvrnn_mod.encode_decode(
+        params, bcfg, mel[:, None, :], bits[:, None], state["h"]
     )
-    mel_hat, dec_h = bvrnn_mod.decode(params, bcfg, codes, state["dec_h"])
     voc_state, wav = generator_stream_step(
         voc_params, vcfg, state["voc"], jnp.swapaxes(mel_hat, 1, 2)
     )
@@ -74,8 +79,7 @@ def _fused_tick(
     mask = active[:, None]
     new_state = {
         "window": jnp.where(mask, window, state["window"]),
-        "enc_h": jnp.where(mask, enc_h, state["enc_h"]),
-        "dec_h": jnp.where(mask, dec_h, state["dec_h"]),
+        "h": jnp.where(mask, h, state["h"]),
         "voc": jax.tree.map(
             lambda new, old: jnp.where(
                 mask[..., None] if new.ndim == 3 else mask, new, old
@@ -111,8 +115,7 @@ class ServingEngine:
         self.state = self._put(
             {
                 "window": jnp.zeros((self.B, WIN), jnp.float32),
-                "enc_h": jnp.zeros((self.B, conf.h_dim), dtype),
-                "dec_h": jnp.zeros((self.B, conf.h_dim), dtype),
+                "h": jnp.zeros((self.B, conf.h_dim), dtype),
                 "voc": generator_stream_init(conf.vocoder_config, self.B, dtype),
             }
         )

@@ -280,11 +280,17 @@ class StreamingDecoder:
 def _fused_packet_step(
     params, voc_params, state, chunk, bits, *, bcfg, vcfg, frontend
 ):
-    """ONE dispatch per 256-sample packet: window roll -> mel -> BVRNN encode
-    step -> BVRNN decode step -> streaming vocoder step.
+    """ONE dispatch per 256-sample packet: window roll -> mel -> fused BVRNN
+    encode_decode step -> streaming vocoder step.
 
-    state: {window (B, 1024), enc_h (B, h), dec_h (B, h), voc (pytree)}.
+    state: {window (B, 1024), h (B, h_dim), voc (pytree)}.
     Returns (state, codes (B, z), wav (B, 256)).
+
+    A single GRU state serves both ends — the closed-loop state-sync
+    invariant (reference ``bvrnn.py:204-206`` == ``:226-227``) means the
+    encoder's and decoder's hidden trajectories are identical given the
+    codes, so ``encode_decode`` emits codes AND the decoded mel in one pass
+    (half the per-packet BVRNN matmuls of an encode step + decode step).
     """
     hop = chunk.shape[-1]
     window = jnp.concatenate([state["window"][:, hop:], chunk], axis=-1)
@@ -295,14 +301,13 @@ def _fused_packet_step(
     mag = jnp.sqrt(re * re + im * im + 1e-9)
     mel = dynamic_range_compression(mag @ frontend.mel_basis.T)  # (B, M)
 
-    codes, enc_h = bvrnn_mod.encode_with_state(
-        params, bcfg, mel[:, None, :], bits[:, None], state["enc_h"]
+    codes, mel_hat, h = bvrnn_mod.encode_decode(
+        params, bcfg, mel[:, None, :], bits[:, None], state["h"]
     )
-    mel_hat, dec_h = bvrnn_mod.decode(params, bcfg, codes, state["dec_h"])
     voc_state, wav = generator_stream_step(
         voc_params, vcfg, state["voc"], jnp.swapaxes(mel_hat, 1, 2)
     )
-    new_state = {"window": window, "enc_h": enc_h, "dec_h": dec_h, "voc": voc_state}
+    new_state = {"window": window, "h": h, "voc": voc_state}
     return new_state, codes[:, 0, :], wav[:, 0, :] / SCALING
 
 
@@ -327,8 +332,7 @@ class FusedPacketCodec:
         self.bits = jnp.full((batch,), codec.bits_per_frame(bitrate), jnp.float32)
         self.state = {
             "window": jnp.zeros((batch, conf.winsize), jnp.float32),
-            "enc_h": jnp.zeros((batch, conf.h_dim), dtype),
-            "dec_h": jnp.zeros((batch, conf.h_dim), dtype),
+            "h": jnp.zeros((batch, conf.h_dim), dtype),
             "voc": generator_stream_init(conf.vocoder_config, batch, dtype),
         }
         self._prefix = np.zeros((batch, 0), np.float32)
