@@ -200,6 +200,47 @@ def test_causality_of_codes(jcfg, jparams, data):
     np.testing.assert_array_equal(np.asarray(z1)[:, :15], np.asarray(z2)[:, :15])
 
 
+@pytest.mark.slow
+def test_fixed_bitrate_parity(ref_model, jparams, data):
+    """var_bit=False (the fixed64 config family, reference
+    ``bvrnn.py:104-108,180-184`` else-branches): no bit mask — all z_dim
+    bits are transmitted.  Codes must be bit-exact vs the reference torch
+    model built with variableBit=False, and every bit binary (no 0.5
+    fill).  Reuses ref_model's weights: variableBit changes control flow
+    only, not parameters."""
+    ref = import_reference_bvrnn()
+    y, bits = data
+    mean_std = [
+        ref_model.mean_mel.detach().numpy().astype("float64"),
+        ref_model.std_mel.detach().numpy().astype("float64"),
+    ]
+    m_fixed = ref.BVRNN(X_DIM, H_DIM, Z_DIM, mean_std, -1.0, False)
+    m_fixed.load_state_dict(ref_model.state_dict())
+    m_fixed.eval()
+    with torch.no_grad():
+        z_ref, _ = m_fixed.encode(
+            torch.from_numpy(y), torch.from_numpy(bits), torch.zeros(1, B, H_DIM)
+        )
+        mel_ref, kld_ref = m_fixed.forward(
+            torch.from_numpy(y), 0.0, True, torch.from_numpy(bits)
+        )
+
+    jcfg_fixed = jbvrnn.BVRNNConfig(
+        x_dim=X_DIM, h_dim=H_DIM, z_dim=Z_DIM, var_bit=False
+    )
+    z, _ = jbvrnn.encode(
+        jparams, jcfg_fixed, jnp.asarray(y), None, jnp.zeros((B, H_DIM))
+    )
+    np.testing.assert_array_equal(np.asarray(z), z_ref.numpy())
+    assert set(np.unique(np.asarray(z))) <= {0.0, 1.0}
+
+    mel, kld = jbvrnn.forward_train(
+        jparams, jcfg_fixed, jnp.asarray(y), 0.0, True, None, jax.random.key(0)
+    )
+    np.testing.assert_allclose(np.asarray(mel), mel_ref.numpy(), atol=3e-5)
+    np.testing.assert_allclose(float(kld), float(kld_ref), atol=1e-4, rtol=1e-4)
+
+
 def test_converter_roundtrip(ref_model, jparams):
     sd = bvrnn_params_to_torch_sd(jparams)
     for k, v in ref_model.state_dict().items():
