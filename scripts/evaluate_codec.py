@@ -6,7 +6,9 @@ MUSHRA test at the paper's two operating points (16 and 64 bits/frame =
 1.378 / 5.5125 kbps, condition names in
 ``mushra_results_dataset/ratings_formated.csv``).  This standalone harness
 runs the same objective metrics over any wav set at any bitrates — the
-eval-layer CLI the reference keeps buried inside its trainer.
+eval-layer CLI the reference keeps buried inside its trainer — plus a
+self-contained STOI intelligibility score (the PESQ wheel is unavailable
+in this image; STOI needs no external package).
 
 Usage:
   python scripts/evaluate_codec.py \
@@ -78,7 +80,7 @@ def main(argv=None):
                                      "/root/.cache/jax_comp"))
 
     from bvsc_tpu.codec import BVRNNCodecModel
-    from bvsc_tpu.eval.metrics import mel_l1, mrstft, pesq_wb_16k
+    from bvsc_tpu.eval.metrics import mel_l1, mrstft, pesq_wb_16k, stoi
     from bvsc_tpu.ops.mel import MelFrontend
 
     codec = BVRNNCodecModel(
@@ -113,6 +115,7 @@ def main(argv=None):
                 "bits_per_frame": codec.bits_per_frame(bps),
                 "mel_l1": float(mel_l1(frontend, xj, yj)),
                 "mrstft": float(mrstft(yj, xj)),
+                "stoi": float(stoi(x, y)),
             }
             p = pesq_wb_16k(x, y)
             if p is not None:
@@ -126,7 +129,7 @@ def main(argv=None):
         sel = [r for r in rows if r["bps"] == bps]
         summary[str(bps)] = {
             k: round(float(np.mean([r[k] for r in sel])), 4)
-            for k in ("mel_l1", "mrstft", *(
+            for k in ("mel_l1", "mrstft", "stoi", *(
                 ("pesq_wb",) if all("pesq_wb" in r for r in sel) else ()))
         }
     out = {"n_stimuli": len(wavs), "summary": summary}

@@ -117,7 +117,7 @@ def main(argv=None):
                                      "/root/.cache/jax_comp"))
 
     from bvsc_tpu.data.dataset import AudioSegmentDataset
-    from bvsc_tpu.eval.metrics import mel_l1, mrstft, pesq_wb_16k
+    from bvsc_tpu.eval.metrics import mel_l1, mrstft, pesq_wb_16k, stoi
     from bvsc_tpu.parallel.mesh import make_mesh, shard_batch
     from bvsc_tpu.train import checkpoint as ckpt
     from bvsc_tpu.train.vocoder_train import GANTrainState, VocoderGANTrainer
@@ -172,22 +172,29 @@ def main(argv=None):
             split=False, shuffle=False, seed=args.seed,
         )
         gen = trainer.state.gen
-        errs, stfts, pesqs = [], [], []
+        errs, stfts, stois, pesqs = [], [], [], []
         for i in range(len(valset)):
             audio, _, _ = valset[i]
             mel = trainer.input_frontend(jnp.asarray(audio[None, :]))
             y_hat = voc_mod.generator_apply(gen, vcfg, mel, audio.shape[0])[:, 0, :]
             errs.append(mel_l1(trainer.loss_frontend, jnp.asarray(audio[None, :]), y_hat))
             stfts.append(mrstft(y_hat, audio[None, :]))
+            try:
+                stois.append(stoi(audio, np.asarray(y_hat[0]), tcfg.sampling_rate))
+            except ValueError:  # clip too short/silent for STOI's 30 frames
+                pass
             p = pesq_wb_16k(audio, np.asarray(y_hat[0]), tcfg.sampling_rate)
             if p is not None:
                 pesqs.append(p)
         logger.scalar("validation/mel_spec_error", np.mean(errs), step)
         logger.scalar("validation/mrstft", np.mean(stfts), step)
+        if stois:
+            logger.scalar("validation/stoi", np.mean(stois), step)
         if pesqs:
             logger.scalar("validation/pesq", np.mean(pesqs), step)
         print(f"validation @ {step}: mel_l1={np.mean(errs):.4f} "
               f"mrstft={np.mean(stfts):.4f}"
+              + (f" stoi={np.mean(stois):.4f}" if stois else "")
               + (f" pesq={np.mean(pesqs):.3f}" if pesqs else " (pesq unavailable)"))
 
     if args.evaluate:

@@ -199,3 +199,65 @@ def test_batches_with_fewer_files_than_batch(tmp_path):
     assert audio.shape == (8, 8192)
     audio2, _ = next(it)
     assert audio2.shape == (8, 8192)
+
+
+def _load_mushra_wav(stim: str, cond: str) -> np.ndarray:
+    import scipy.signal
+    from scipy.io import wavfile
+
+    fs, data = wavfile.read(
+        f"/root/reference/mushra_results_dataset/audio/{stim}/{cond}.wav"
+    )
+    x = data[:, 0].astype(np.float64) / 32768.0 if data.ndim == 2 else (
+        data.astype(np.float64) / 32768.0
+    )
+    return scipy.signal.resample_poly(x, 22050, fs)
+
+
+def test_stoi_properties():
+    from bvsc_tpu.eval.metrics import stoi
+
+    rng = np.random.default_rng(0)
+    # modulated-noise "speech" surrogate: nonstationary, full band
+    t = np.arange(3 * 22050) / 22050
+    x = rng.standard_normal(t.size) * (0.2 + np.abs(np.sin(2 * np.pi * 3 * t)))
+    assert abs(stoi(x, x) - 1.0) < 1e-10
+    # monotone degradation with noise level
+    noise = rng.standard_normal(t.size)
+    scores = [
+        stoi(x, x + g * noise) for g in (0.05, 0.3, 1.0, 4.0)
+    ]
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] > 0.9 and scores[-1] < scores[0] - 0.25, scores
+    # invariant to degraded-signal scaling (per-band energy normalization)
+    assert abs(stoi(x, 0.5 * (x + 0.3 * noise)) - scores[1]) < 1e-12
+    with pytest.raises(ValueError, match="length"):
+        stoi(x, x[:-1])
+    with pytest.raises(ValueError, match="active frames"):
+        stoi(x[:2000], x[:2000])
+
+
+@pytest.mark.slow
+def test_stoi_on_real_speech_orders_controlled_degradations():
+    """On real listening-test speech, STOI must order controlled
+    degradations by intelligibility: identity = 1.0, then mild noise,
+    then a 1 kHz lowpass (a classic intelligibility killer), then heavy
+    noise.  (MUSHRA *quality* ordering is deliberately not asserted:
+    STOI measures intelligibility and is alignment-sensitive, so
+    differently-delayed third-party codec outputs are out of scope.)"""
+    import scipy.signal
+
+    from bvsc_tpu.eval.metrics import stoi
+
+    ref = _load_mushra_wav("stim_01", "ref")
+    rng = np.random.default_rng(1)
+    noise = rng.standard_normal(ref.size) * ref.std()
+    sos = scipy.signal.butter(8, 1000.0, fs=22050, output="sos")
+    lowpassed = scipy.signal.sosfilt(sos, ref)
+
+    s_id = stoi(ref, ref)
+    s_mild = stoi(ref, ref + 0.1 * noise)
+    s_lp = stoi(ref, lowpassed)
+    s_heavy = stoi(ref, ref + 2.0 * noise)
+    assert abs(s_id - 1.0) < 1e-10
+    assert s_id > s_mild > s_lp > s_heavy, (s_id, s_mild, s_lp, s_heavy)
