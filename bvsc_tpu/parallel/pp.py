@@ -33,6 +33,10 @@ choice and TP the single-stream-latency choice; PP's value here is
 capability (pipelined heterogeneous stages, the pattern that generalizes to
 deeper model families) and freeing stage-0 devices' HBM of vocoder weights
 and activations.
+
+Composability: a 2-D (data x pipe) mesh (``make_dp_pp_mesh``) shards every
+microbatch's stream dim over ``data`` while each stage replicates across
+it — pipelined == unpipelined exactly there too (``tests/test_pp.py``).
 """
 
 from __future__ import annotations
@@ -58,6 +62,17 @@ def make_pp_mesh(axis_name: str = PIPE_AXIS) -> Mesh:
     if len(devs) < N_STAGES:
         raise ValueError(f"pipeline needs {N_STAGES} devices, have {len(devs)}")
     return Mesh(np.asarray(devs), (axis_name,))
+
+
+def make_dp_pp_mesh(n_data: int, data_axis: str = "data",
+                    pipe_axis: str = PIPE_AXIS) -> Mesh:
+    """2-D mesh composing stream batching with the pipeline: each stage is
+    replicated ``n_data`` ways and every microbatch's stream dim is sharded
+    over ``data`` (cf. ``sp.make_dp_sp_mesh``)."""
+    devs = np.asarray(jax.devices()[: n_data * N_STAGES]).reshape(
+        n_data, N_STAGES
+    )
+    return Mesh(devs, (data_axis, pipe_axis))
 
 
 def _recv_left(v: jax.Array, axis_name: str) -> jax.Array:
@@ -105,6 +120,16 @@ def pipeline_resynth(
         if bcfg.var_bit:
             raise ValueError("bits_mb required for a var_bit BVRNN")
         bits_mb = jnp.zeros((n_micro, m_sz, t_frames), jnp.float32)
+
+    # compose with stream batching on a 2-D (data x pipe) mesh: shard each
+    # microbatch's stream dim over "data" when the mesh has that axis
+    bdim = "data" if "data" in mesh.axis_names else None
+    if bdim and m_sz % mesh.shape[bdim]:
+        raise ValueError(
+            f"microbatch streams {m_sz} not divisible by data axis "
+            f"{mesh.shape[bdim]}"
+        )
+    m_sz = m_sz // (mesh.shape[bdim] if bdim else 1)  # per-shard streams
 
     def local(bparams, vparams, mel_all, bits_all):
         stage = lax.axis_index(axis_name)
@@ -164,11 +189,12 @@ def pipeline_resynth(
         # stage's real half out
         return z_buf, wav_buf
 
+    in_spec = P(None, bdim)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
-        out_specs=(P(axis_name), P(axis_name)),
+        in_specs=(P(), P(), in_spec, in_spec),
+        out_specs=(P(axis_name, bdim), P(axis_name, bdim)),
         check_rep=False,
     )
     z_stack, wav_stack = fn(bvrnn_params, voc_params, mel_mb, bits_mb)

@@ -85,6 +85,25 @@ def test_pp_jits(setup):
     assert set(np.unique(np.asarray(codes))) <= {0.0, 0.5, 1.0}
 
 
+def test_pp_composes_with_data_parallel(setup):
+    """2-D (data x pipe) mesh: each stage replicated over data, every
+    microbatch's stream dim sharded — must equal the unpipelined
+    composition exactly like the 1-D case."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs virtual multi-device harness")
+    from bvsc_tpu.parallel.pp import make_dp_pp_mesh
+
+    bparams, bcfg, vparams, vcfg, mel_mb, bits_mb = setup
+    z_ref, wav_ref = _reference(bparams, bcfg, vparams, vcfg, mel_mb, bits_mb)
+    mesh = make_dp_pp_mesh(2)  # M=2 streams sharded over data=2
+    codes, wav = pipeline_resynth(
+        bparams, bcfg, vparams, vcfg, mel_mb, bits_mb, mesh,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    np.testing.assert_array_equal(np.asarray(codes), z_ref)
+    np.testing.assert_allclose(np.asarray(wav), wav_ref, atol=1e-6)
+
+
 def test_pp_input_validation(setup):
     if len(jax.devices()) < 2:
         pytest.skip("needs virtual multi-device harness")
