@@ -25,6 +25,7 @@ __all__ = [
     "VocoderConfig",
     "load_config",
     "BVRNNCodecModel",
+    "PriorEntropyCoder",
 ]
 
 __version__ = "0.1.0"
@@ -37,4 +38,8 @@ def __getattr__(name):
         from bvsc_tpu.codec import BVRNNCodecModel
 
         return BVRNNCodecModel
+    if name == "PriorEntropyCoder":
+        from bvsc_tpu.entropy import PriorEntropyCoder
+
+        return PriorEntropyCoder
     raise AttributeError(name)

@@ -4,11 +4,16 @@ The reference ships no codec CLI (only vocoder CLIs, SURVEY §1); this adds
 one around the same public model.  The container format is minimal:
 
   magic 'BVSC', version u8, z_dim u8, bits/frame u16, fs u32, frames u32,
-  then the bit-packed payload (first-k priority bits per frame, little
-  endian — ops.bitpack / native C kernel).
+  then the payload:
+    version 1 — bit-packed first-k priority bits per frame, little endian
+                (ops.bitpack / native C kernel);
+    version 2 — the same bits rANS-coded against the BVRNN's own prior
+                network (bvsc_tpu.entropy / native/rans.c): ~17-30 %
+                smaller payload at bit-identical codes; decoding needs the
+                same BVRNN checkpoint (the prior IS the entropy model).
 
 Usage:
-  python scripts/codec_cli.py encode in.wav out.bvsc --bitrate 3000
+  python scripts/codec_cli.py encode in.wav out.bvsc --bitrate 3000 [--entropy]
   python scripts/codec_cli.py decode out.bvsc roundtrip.wav
 """
 
@@ -24,33 +29,59 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 MAGIC = b"BVSC"
-VERSION = 1
+VERSION_RAW = 1
+VERSION_ENTROPY = 2
+# v2 payload size does not bound frames (a confident prior compresses
+# arbitrarily well), so cap the untrusted header instead: 2^22 frames
+# ≈ 13.5 h of audio ≈ 1 GB of decoded codes.
+_MAX_ENTROPY_FRAMES = 1 << 22
 
 
-def write_bvsc(path, codes: np.ndarray, bits_per_frame: int, fs: int) -> None:
+def write_bvsc(path, codes: np.ndarray, bits_per_frame: int, fs: int,
+               coder=None) -> None:
+    """coder: a ``bvsc_tpu.entropy.PriorEntropyCoder`` for wire-format v2
+    (rANS against the BVRNN prior); None writes v1 raw packing."""
     from bvsc_tpu.ops.bitpack import pack_codes
 
     frames, z_dim = codes.shape
-    payload = pack_codes(codes, bits_per_frame)
+    if coder is not None:
+        version, payload = VERSION_ENTROPY, coder.encode(codes, bits_per_frame)
+    else:
+        version, payload = VERSION_RAW, pack_codes(codes, bits_per_frame)
     with open(path, "wb") as f:
         f.write(MAGIC)
-        f.write(struct.pack("<BBHII", VERSION, z_dim, bits_per_frame, fs, frames))
+        f.write(struct.pack("<BBHII", version, z_dim, bits_per_frame, fs, frames))
         f.write(payload)
 
 
-def read_bvsc(path):
+def read_bvsc(path, coder_factory=None):
+    """coder_factory: zero-arg callable returning a ``PriorEntropyCoder``,
+    required only for v2 streams (the prior is the entropy model, so the
+    decoder needs the same BVRNN checkpoint)."""
     from bvsc_tpu.ops.bitpack import payload_nbytes, unpack_codes
 
     with open(path, "rb") as f:
         if f.read(4) != MAGIC:
             raise ValueError(f"{path}: not a BVSC bitstream")
         version, z_dim, bits, fs, frames = struct.unpack("<BBHII", f.read(12))
-        if version != VERSION:
+        if version not in (VERSION_RAW, VERSION_ENTROPY):
             raise ValueError(f"{path}: unsupported version {version}")
         payload = f.read()
-    # Validate the untrusted frame-count header against the actual payload
-    # size BEFORE allocating frames*z_dim floats (a crafted header could
-    # otherwise request multi-GB allocations / OOB reads downstream).
+    if version == VERSION_ENTROPY:
+        if coder_factory is None:
+            raise ValueError(
+                f"{path}: entropy-coded stream (v2) needs the BVRNN prior "
+                "to decode — pass coder_factory"
+            )
+        if frames > _MAX_ENTROPY_FRAMES:
+            raise ValueError(f"{path}: frames header {frames} exceeds cap")
+        coder = coder_factory()
+        if coder.cfg.z_dim != z_dim:
+            raise ValueError(f"{path}: z_dim {z_dim} != model {coder.cfg.z_dim}")
+        return coder.decode(payload, bits, frames), bits, fs
+    # v1: validate the untrusted frame-count header against the actual
+    # payload size BEFORE allocating frames*z_dim floats (a crafted header
+    # could otherwise request multi-GB allocations / OOB reads downstream).
     need = payload_nbytes(bits, frames, z_dim)
     if len(payload) < need:
         raise ValueError(
@@ -65,6 +96,11 @@ def main(argv=None):
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--bitrate", type=float, default=3000.0)
+    p.add_argument("--entropy", action="store_true",
+                   help="write wire-format v2: rANS-code the bits against "
+                        "the BVRNN prior (~17-30%% smaller payload, "
+                        "bit-identical codes; decode needs the same "
+                        "checkpoint)")
     p.add_argument("--config", default=None)
     p.add_argument("--bvrnn_checkpoint", default=None)
     p.add_argument("--vocoder_checkpoint", default=None)
@@ -83,18 +119,25 @@ def main(argv=None):
     )
     fs = codec.conf.fs
 
+    def coder_factory():
+        from bvsc_tpu.entropy import PriorEntropyCoder
+
+        return PriorEntropyCoder(codec.bvrnn_params, codec.bvrnn_cfg)
+
     if args.mode == "encode":
         wav, _ = load_wav(args.input, fs)
         if wav.ndim > 1:
             wav = wav[:, 0]
         codes = np.asarray(codec.encode(wav[None, :], args.bitrate))[0]
-        write_bvsc(args.output, codes, codec.conf.bits_per_frame(args.bitrate), fs)
+        write_bvsc(args.output, codes, codec.conf.bits_per_frame(args.bitrate),
+                   fs, coder=coder_factory() if args.entropy else None)
         dur = wav.shape[0] / fs
         size = os.path.getsize(args.output)
         print(f"{args.output}: {codes.shape[0]} frames, {size} B "
-              f"({size * 8 / dur:.1f} bps incl. 16 B header)")
+              f"({size * 8 / dur:.1f} bps incl. 16 B header"
+              f"{', entropy-coded' if args.entropy else ''})")
     else:
-        codes, bits, fs_stream = read_bvsc(args.input)
+        codes, bits, fs_stream = read_bvsc(args.input, coder_factory)
         length = codes.shape[0] * codec.conf.hopsize
         wav = np.asarray(codec.decode(codes[None], length))[0]
         save_wav(wav, args.output, fs_stream)
