@@ -47,6 +47,9 @@ def parse_args(argv=None):
                    help="bits/s; paper points: 1378 (16 b/frame), 5512 (64)")
     p.add_argument("--precision", default="highest",
                    choices=["highest", "default"])
+    p.add_argument("--entropy", action="store_true",
+                   help="also report the effective bitrate after "
+                        "prior-adaptive entropy coding (wire-format v2)")
     p.add_argument("--limit", type=int, default=None, help="max stimuli")
     p.add_argument("--out_json", default=None)
     return p.parse_args(argv)
@@ -102,6 +105,12 @@ def main(argv=None):
     if not wavs:
         raise SystemExit(f"no wavs under {args.stimuli_dir}")
 
+    ecoder = None
+    if args.entropy:
+        from bvsc_tpu.entropy import PriorEntropyCoder
+
+        ecoder = PriorEntropyCoder(codec.bvrnn_params, codec.bvrnn_cfg)
+
     rows = []
     for path in wavs:
         x = load_22k(path)
@@ -117,6 +126,12 @@ def main(argv=None):
                 "mrstft": float(mrstft(yj, xj)),
                 "stoi": float(stoi(x, y)),
             }
+            if ecoder is not None:
+                codes = np.asarray(codec.encode(x[None, :], bps))[0]
+                m = ecoder.measure(codes, int(round(codec.bits_per_frame(bps))))
+                # coded payload bits per second of audio
+                row["entropy_bps"] = 8.0 * m["coded_bytes"] / (x.shape[0] / conf.fs)
+                row["entropy_saving_pct"] = m["saving_pct"]
             p = pesq_wb_16k(x, y)
             if p is not None:
                 row["pesq_wb"] = float(p)
@@ -130,7 +145,9 @@ def main(argv=None):
         summary[str(bps)] = {
             k: round(float(np.mean([r[k] for r in sel])), 4)
             for k in ("mel_l1", "mrstft", "stoi", *(
-                ("pesq_wb",) if all("pesq_wb" in r for r in sel) else ()))
+                ("pesq_wb",) if all("pesq_wb" in r for r in sel) else ()), *(
+                ("entropy_bps", "entropy_saving_pct")
+                if all("entropy_bps" in r for r in sel) else ()))
         }
     out = {"n_stimuli": len(wavs), "summary": summary}
     print(json.dumps(out))
