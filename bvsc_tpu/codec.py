@@ -184,9 +184,12 @@ class BVRNNCodecModel:
         bucket = hop * self.length_bucket
         return int(np.ceil(max(length, 1) / bucket) * bucket)
 
-    def bits_per_frame(self, bitrate: float) -> float:
-        """bps -> bits/frame (reference ``bvrnn_codec_model.py:58-59``)."""
-        return float(np.round(bitrate * self.conf.hopsize / self.conf.fs))
+    def bits_per_frame(self, bitrate) -> float | np.ndarray:
+        """bps -> bits/frame (reference ``bvrnn_codec_model.py:58-59``).
+        Accepts a scalar or a per-frame array (VBR schedules)."""
+        bits = np.round(np.asarray(bitrate, np.float64)
+                        * self.conf.hopsize / self.conf.fs)
+        return float(bits) if bits.ndim == 0 else bits.astype(np.float32)
 
     # -- public API ----------------------------------------------------------
 
@@ -194,7 +197,13 @@ class BVRNNCodecModel:
         """x: (batch, length) waveform; bitrate in bits/s (rounded to the
         nearest bits/frame).  Returns binary codes (batch, frames, z_dim).
         A 1-D ``(length,)`` waveform is auto-promoted to batch 1 and the
-        batch axis squeezed from the result."""
+        batch axis squeezed from the result.
+
+        VBR: ``bitrate`` may also be a per-frame array of bps — shape
+        (frames,) or (batch, frames) — for mid-stream rate switches (the
+        reference broadcasts one scalar, ``bvrnn_codec_model.py:58-59``,
+        but its model layer is per-frame, ``bvrnn.py:180-184``; so is
+        ours).  Pair with the .bvsc VBR allocation table for files."""
         x = _as_device_array(x, jnp.float32)
         squeeze = x.ndim == 1
         if squeeze:
@@ -207,10 +216,25 @@ class BVRNNCodecModel:
         Lp = self._pad_length(L)
         x = jnp.pad(x, ((0, 0), (0, Lp - L)))
         n_frames = self.frontend.num_frames(L)
+        bits = self.bits_per_frame(bitrate)
+        if np.ndim(bits):
+            frames_expected = (n_frames,) if np.ndim(bits) == 1 else (
+                x.shape[0], n_frames)
+            if np.shape(bits) != frames_expected:
+                raise ValueError(
+                    f"per-frame bitrate shape {np.shape(bits)} != "
+                    f"{frames_expected} ({n_frames} frames for {L} samples)"
+                )
+            # pad the schedule to the length bucket; padded frames are
+            # trimmed from the returned codes so their allocation is moot
+            Tp = self.frontend.num_frames(Lp)
+            pad = ((0, Tp - n_frames),) if np.ndim(bits) == 1 else (
+                (0, 0), (0, Tp - n_frames))
+            bits = np.pad(bits, pad)
         codes = self._encode_jit(
             self.bvrnn_params,
             x,
-            jnp.asarray(self.bits_per_frame(bitrate), jnp.float32),
+            jnp.asarray(bits, jnp.float32),
             frontend=self.frontend,
         )
         codes = codes[:, :n_frames]

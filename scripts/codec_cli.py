@@ -31,33 +31,48 @@ import numpy as np
 MAGIC = b"BVSC"
 VERSION_RAW = 1
 VERSION_ENTROPY = 2
+# bits/frame header sentinel: a per-frame u8 allocation table follows the
+# header (variable bitrate files — mid-stream rate switches, the codec's
+# headline capability; k <= z_dim <= 255 so a real constant never collides)
+_BITS_VBR = 0xFFFF
 # v2 payload size does not bound frames (a confident prior compresses
 # arbitrarily well), so cap the untrusted header instead: 2^22 frames
 # ≈ 13.5 h of audio ≈ 1 GB of decoded codes.
 _MAX_ENTROPY_FRAMES = 1 << 22
 
 
-def write_bvsc(path, codes: np.ndarray, bits_per_frame: int, fs: int,
+def write_bvsc(path, codes: np.ndarray, bits_per_frame, fs: int,
                coder=None) -> None:
-    """coder: a ``bvsc_tpu.entropy.PriorEntropyCoder`` for wire-format v2
-    (rANS against the BVRNN prior); None writes v1 raw packing."""
+    """bits_per_frame: int (constant) or (frames,) array (VBR — a per-frame
+    u8 table is stored; entries are clamped to [0, z_dim], the effective
+    allocation — only z_dim bits exist per frame, matching the model-layer
+    clamp).  coder: a ``bvsc_tpu.entropy.PriorEntropyCoder`` for wire-format
+    v2 (rANS against the BVRNN prior); None writes v1 raw packing."""
     from bvsc_tpu.ops.bitpack import pack_codes
 
     frames, z_dim = codes.shape
+    ks = np.asarray(bits_per_frame, np.int64)
     if coder is not None:
         version, payload = VERSION_ENTROPY, coder.encode(codes, bits_per_frame)
     else:
         version, payload = VERSION_RAW, pack_codes(codes, bits_per_frame)
     with open(path, "wb") as f:
         f.write(MAGIC)
-        f.write(struct.pack("<BBHII", version, z_dim, bits_per_frame, fs, frames))
+        if ks.ndim == 0:
+            f.write(struct.pack("<BBHII", version, z_dim, int(ks), fs, frames))
+        else:
+            if ks.shape != (frames,):
+                raise ValueError(f"bits_per_frame shape {ks.shape} != ({frames},)")
+            f.write(struct.pack("<BBHII", version, z_dim, _BITS_VBR, fs, frames))
+            f.write(np.clip(ks, 0, z_dim).astype(np.uint8).tobytes())
         f.write(payload)
 
 
 def read_bvsc(path, coder_factory=None):
     """coder_factory: zero-arg callable returning a ``PriorEntropyCoder``,
     required only for v2 streams (the prior is the entropy model, so the
-    decoder needs the same BVRNN checkpoint)."""
+    decoder needs the same BVRNN checkpoint).  Returns (codes,
+    bits_per_frame, fs) — bits_per_frame is an int or a (frames,) array."""
     from bvsc_tpu.ops.bitpack import payload_nbytes, unpack_codes
 
     with open(path, "rb") as f:
@@ -66,6 +81,15 @@ def read_bvsc(path, coder_factory=None):
         version, z_dim, bits, fs, frames = struct.unpack("<BBHII", f.read(12))
         if version not in (VERSION_RAW, VERSION_ENTROPY):
             raise ValueError(f"{path}: unsupported version {version}")
+        if bits == _BITS_VBR:
+            # the table is frames-proportional: cap the untrusted header
+            # before the read (same rationale as the v2 cap below)
+            if frames > _MAX_ENTROPY_FRAMES:
+                raise ValueError(f"{path}: frames header {frames} exceeds cap")
+            table = f.read(frames)
+            if len(table) != frames:
+                raise ValueError(f"{path}: truncated VBR allocation table")
+            bits = np.frombuffer(table, np.uint8).astype(np.int32)
         payload = f.read()
     if version == VERSION_ENTROPY:
         if coder_factory is None:
@@ -141,8 +165,10 @@ def main(argv=None):
         length = codes.shape[0] * codec.conf.hopsize
         wav = np.asarray(codec.decode(codes[None], length))[0]
         save_wav(wav, args.output, fs_stream)
+        bits_desc = (f"VBR, mean {float(np.mean(bits)):.1f}"
+                     if np.ndim(bits) else bits)
         print(f"{args.output}: {length} samples @ {fs_stream} Hz "
-              f"(payload was {bits} bits/frame)")
+              f"(payload was {bits_desc} bits/frame)")
 
 
 if __name__ == "__main__":

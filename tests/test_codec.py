@@ -54,13 +54,9 @@ def small_codec_and_refs():
     return codec, ref_bvrnn, ref_gen, conf
 
 
-def reference_full_chain(ref_bvrnn, ref_gen, conf, x, bitrate):
-    """Reference codec flow (bvrnn_codec_model.py:44-76) composed from the
-    reference torch modules + our torch-parity mel (tested in test_mel)."""
-    from test_mel import torch_reference_logmel
-
-    # torch_reference_logmel is hard-wired to 80 mels via the filterbank size;
-    # rebuild inline for the small config
+def reference_mel(conf, x):
+    """The reference mel pipeline in torch (parity tested in test_mel),
+    rebuilt inline for the small config — (B, T, M) for BVRNN consumption."""
     from bvsc_tpu.ops.mel import slaney_mel_filterbank
 
     y = torch.from_numpy(x * SCALING).float()
@@ -77,7 +73,13 @@ def reference_full_chain(ref_bvrnn, ref_gen, conf, x, bitrate):
     fb = torch.from_numpy(
         slaney_mel_filterbank(conf.fs, conf.winsize, conf.num_mels, conf.fmin, conf.fmax)
     )
-    mel = torch.log(torch.clamp(fb @ spec, min=1e-5)).permute(0, 2, 1)
+    return torch.log(torch.clamp(fb @ spec, min=1e-5)).permute(0, 2, 1)
+
+
+def reference_full_chain(ref_bvrnn, ref_gen, conf, x, bitrate):
+    """Reference codec flow (bvrnn_codec_model.py:44-76) composed from the
+    reference torch modules + our torch-parity mel (tested in test_mel)."""
+    mel = reference_mel(conf, x)
 
     bits = np.round(bitrate * conf.hopsize / conf.fs) * torch.ones(mel.shape[:2])
     h = torch.zeros(1, mel.shape[0], conf.h_dim)
@@ -189,6 +191,47 @@ def test_1d_input_promotion(small_codec_and_refs, rng):
         codec.encode(x[None, None], 3000)
     with pytest.raises(ValueError):
         codec.decode(codes1[None, None], 100)
+
+
+def test_encode_per_frame_bitrate(small_codec_and_refs, rng):
+    """VBR at the public surface: ``encode`` accepts a per-frame bps schedule
+    (mid-stream rate switches).  The reference only broadcasts a scalar at its
+    codec layer (``bvrnn_codec_model.py:58-59``) but its model layer is
+    genuinely per-frame (``bvrnn.py:180-184``) — so the reference torch model
+    driven with the varying schedule is the parity oracle."""
+    codec, ref_bvrnn, _, conf = small_codec_and_refs
+    L = 22050
+    x = (rng.standard_normal((1, L)) * 0.3).astype(np.float32)
+    n_frames = codec.frontend.num_frames(L)
+
+    # a constant per-frame schedule bit-matches the scalar path
+    const = np.full(n_frames, 3000.0, np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(codec.encode(x, const)), np.asarray(codec.encode(x, 3000))
+    )
+
+    # a genuinely varying schedule matches the reference model layer
+    bps = np.where(np.arange(n_frames) < n_frames // 2, 1500.0, 6000.0)
+    codes = np.asarray(codec.encode(x, bps))[0]
+    mel = reference_mel(conf, x)
+    bits_t = torch.from_numpy(
+        np.round(bps * conf.hopsize / conf.fs).astype(np.float32)
+    )[None, :]
+    with torch.no_grad():
+        codes_ref, _ = ref_bvrnn.encode(
+            mel, bits_t, torch.zeros(1, 1, conf.h_dim)
+        )
+    np.testing.assert_array_equal(codes, codes_ref.numpy()[0])
+    # masked positions honor the per-frame allocation
+    ks = np.round(bps * conf.hopsize / conf.fs).astype(int)
+    for t in (0, n_frames // 2, n_frames - 1):
+        assert (codes[t, min(ks[t], conf.z_dim):] == 0.5).all()
+
+    # (batch, frames) schedules and shape validation
+    codes_b = np.asarray(codec.encode(x, bps[None, :]))
+    np.testing.assert_array_equal(codes_b[0], codes)
+    with pytest.raises(ValueError, match="per-frame bitrate shape"):
+        codec.encode(x, bps[:-1])
 
 
 def test_checkpoint_loading_paths(tmp_path):

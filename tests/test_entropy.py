@@ -153,3 +153,31 @@ def test_bvsc_v2_container_roundtrip(tmp_path, small):
     codec_cli.write_bvsc(path, z, 7, 22050)
     codes1, _, _ = codec_cli.read_bvsc(path)
     np.testing.assert_array_equal(codes1, codes)
+
+
+def test_bvsc_vbr_allocation_table(tmp_path, small):
+    """Per-frame bit allocations (mid-stream bitrate switches) survive the
+    container: a u8 table after the header, for both v1 and v2 payloads."""
+    import codec_cli
+
+    cfg, params, z, ks = small
+    path = str(tmp_path / "vbr.bvsc")
+
+    codec_cli.write_bvsc(path, z, ks, 22050)
+    codes, bits, fs = codec_cli.read_bvsc(path)
+    np.testing.assert_array_equal(bits, ks)
+    np.testing.assert_array_equal(codes, _expected(z, ks, cfg.z_dim))
+
+    ec = PriorEntropyCoder(params, cfg)
+    codec_cli.write_bvsc(path, z, ks, 22050, coder=ec)
+    codes2, bits2, _ = codec_cli.read_bvsc(path, lambda: ec)
+    np.testing.assert_array_equal(bits2, ks)
+    np.testing.assert_array_equal(codes2, codes)
+
+    # truncated allocation table is rejected
+    raw = open(path, "rb").read()
+    trunc = str(tmp_path / "trunc.bvsc")
+    with open(trunc, "wb") as f:
+        f.write(raw[: 16 + len(ks) // 2])
+    with pytest.raises(ValueError, match="truncated VBR"):
+        codec_cli.read_bvsc(trunc, lambda: ec)
