@@ -171,6 +171,10 @@ class BVRNNCodecModel:
         self._decode_mel_jit = jax.jit(
             functools.partial(_decode_mel_impl, cfg=self.bvrnn_cfg)
         )
+        self._decode_plc_jit = jax.jit(
+            functools.partial(_decode_plc_impl, bcfg=self.bvrnn_cfg),
+            static_argnames=("vcfg", "length", "mode"),
+        )
         self._forward_jit = jax.jit(
             functools.partial(_forward_impl, bcfg=self.bvrnn_cfg),
             static_argnames=("frontend", "vcfg", "length", "pallas_compute"),
@@ -240,10 +244,22 @@ class BVRNNCodecModel:
         codes = codes[:, :n_frames]
         return codes[0] if squeeze else codes
 
-    def decode(self, codes, length: int) -> jax.Array:
+    def decode(self, codes, length: int, *, lost=None, conceal_bitrate=None,
+               conceal_mode: str = "expect") -> jax.Array:
         """codes: (batch, frames, z_dim); length: output sample count.
         2-D ``(frames, z_dim)`` codes are auto-promoted to batch 1 and the
-        batch axis squeezed from the result."""
+        batch axis squeezed from the result.
+
+        Packet-loss concealment: ``lost`` may flag frames — (frames,) or
+        (batch, frames) of 0/1 — whose codes were not received; they are
+        reconstructed from the BVRNN's own prior ``P(z_t | h_t)`` (the
+        entropy model the reference trains, ``bvrnn.py:148-156``, here
+        doubling as the PLC model).  ``conceal_mode``: ``'expect'``
+        (default; substitute the prior probabilities — better and
+        numerically stable, see ``models.bvrnn.decode_plc``) or ``'map'``
+        (rounded bits).  ``conceal_bitrate``: optional bps (scalar or
+        per-frame, like ``encode``) to mask concealed frames to the
+        stream's real allocation; None uses all ``z_dim`` bits."""
         codes = _as_device_array(codes, jnp.float32)
         squeeze = codes.ndim == 2
         if squeeze:
@@ -260,17 +276,44 @@ class BVRNNCodecModel:
         padded_len = self._pad_length(max(T * hop, length))
         Tp = padded_len // hop
         codes = jnp.pad(codes, ((0, 0), (0, Tp - T), (0, 0)), constant_values=0.5)
-        y = self._decode_jit(
-            self.bvrnn_params,
-            self.vocoder_params,
-            codes,
-            self._voc_kernel_blocks,
-            vcfg=self.conf.vocoder_config,
-            length=padded_len,
-            pallas_compute=(
-                "bf16" if self.precision == jax.lax.Precision.DEFAULT else "f32"
-            ),
-        )
+        if lost is not None:
+            lost = np.asarray(lost, np.float32)
+            if lost.ndim == 1:
+                lost = lost[None, :]
+            if lost.shape != (codes.shape[0], T):
+                raise ValueError(
+                    f"lost mask shape {lost.shape} != ({codes.shape[0]}, {T})"
+                )
+            lost = np.pad(lost, ((0, 0), (0, Tp - T)))  # padding frames: received
+            cbits = None
+            if conceal_bitrate is not None:
+                cb = np.broadcast_to(
+                    np.asarray(self.bits_per_frame(conceal_bitrate), np.float32),
+                    (codes.shape[0], T),
+                )
+                cbits = np.pad(cb, ((0, 0), (0, Tp - T)))
+            y = self._decode_plc_jit(
+                self.bvrnn_params,
+                self.vocoder_params,
+                codes,
+                jnp.asarray(lost),
+                None if cbits is None else jnp.asarray(cbits),
+                vcfg=self.conf.vocoder_config,
+                length=padded_len,
+                mode=conceal_mode,
+            )
+        else:
+            y = self._decode_jit(
+                self.bvrnn_params,
+                self.vocoder_params,
+                codes,
+                self._voc_kernel_blocks,
+                vcfg=self.conf.vocoder_config,
+                length=padded_len,
+                pallas_compute=(
+                    "bf16" if self.precision == jax.lax.Precision.DEFAULT else "f32"
+                ),
+            )
         y = y[:, :length]
         return y[0] if squeeze else y
 
@@ -404,6 +447,23 @@ def _decode_mel_impl(params, codes, *, cfg):
     h0 = jnp.zeros((B, cfg.h_dim), cfg.dtype)
     mel, _ = bvrnn_mod.decode(params, cfg, codes, h0)
     return jnp.swapaxes(mel, 1, 2)
+
+
+def _decode_plc_impl(
+    params, voc_params, codes, lost, conceal_bits, *, bcfg, vcfg, length,
+    mode="expect",
+):
+    """Decode with prior-based packet-loss concealment (models.bvrnn.decode_plc)."""
+    B = codes.shape[0]
+    h0 = jnp.zeros((B, bcfg.h_dim), bcfg.dtype)
+    mel, _ = bvrnn_mod.decode_plc(
+        params, bcfg, codes, lost, h0, conceal_bits, mode=mode
+    )
+    mel = jnp.swapaxes(mel, 1, 2)
+    wav = voc_mod.generator_apply(
+        voc_params, vcfg, mel, length, precision=bcfg.precision,
+    )
+    return wav[:, 0, :] / SCALING
 
 
 def _decode_impl(

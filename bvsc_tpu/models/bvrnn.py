@@ -345,6 +345,85 @@ def decode(
     return jnp.swapaxes(dec_seq, 0, 1), h_final
 
 
+def decode_plc(
+    params: Params,
+    cfg: BVRNNConfig,
+    z: jax.Array,
+    lost: jax.Array,
+    h: jax.Array,
+    conceal_bits: jax.Array | None = None,
+    mode: str = "expect",
+) -> tuple[jax.Array, jax.Array]:
+    """Decode with packet-loss concealment from the BVRNN's own prior.
+
+    Like :func:`decode`, but frames flagged in ``lost`` (B, T) ignore their
+    ``z`` entries and substitute codes derived from the prior
+    ``P(z_t | h_t)`` — the decoder-side estimate of what the encoder sent.
+    The reference trains exactly this prior network for its Bernoulli KL
+    (``bvrnn.py:148-156``) but never uses it at inference; here it doubles
+    as the concealment model, so a lost 11.6 ms packet degrades toward the
+    model's own continuation instead of a dropout.
+
+    mode: ``'expect'`` (default) substitutes the prior *probabilities*
+    (the expected code vector) — measured better on real speech than both
+    the rounded MAP codes and neutral 0.5-fill (10% loss, demo ckpt:
+    mel-L1 vs clean decode 0.234 expect / 0.257 zero-fill / 3.92 map), and
+    numerically stable: ``'map'`` (``round(P)``) sits on a knife edge, so
+    an epsilon difference in ``h`` (e.g. from a different chunking of the
+    same stream) can flip a concealed bit and macroscopically change the
+    continuation.  Even in 'expect' mode concealment is a function of
+    ``h``, so different chunkings of the same lossy stream agree only
+    approximately (~1e-2 waveform after ~30 losses) — unlike the lossless
+    paths, free-running frames lack the common code forcing that squashes
+    float-reassociation noise.
+
+    conceal_bits: optional (B, T) bits/frame for concealed frames (the
+    receiver knows the stream's allocation, e.g. from the .bvsc table);
+    None uses all ``z_dim`` bits.  After a loss the encoder/decoder hidden
+    states diverge (the encoder advanced on the true codes); the GRU's
+    forgetting re-converges them over subsequent received frames — measured
+    in ``tests/test_plc.py``.
+
+    Returns (mel (B, T, x_dim), final h).
+    """
+    if mode not in ("expect", "map"):
+        raise ValueError(f"unknown concealment mode {mode!r}")
+    prec = cfg.precision
+    z = z.astype(cfg.dtype)
+    lost_f = lost.astype(cfg.dtype)
+    if conceal_bits is not None:
+        cmask = bit_mask_from_bitrate(conceal_bits, cfg.z_dim).astype(cfg.dtype)
+    else:
+        cmask = jnp.ones(z.shape[:2] + (cfg.z_dim,), cfg.dtype)
+    # hoist phi_z of the received codes like decode() does — received frames
+    # stay bitwise identical to a plain decode; only lost frames take the
+    # in-scan prior + phi_z path
+    phi_z = phi_z_apply(params, z, prec)  # (B, T, h)
+
+    def step(h, xs):
+        phi_z_rx_t, lost_t, cmask_t = xs
+        prior_t = prior_apply(params, h, prec)
+        z_hat = jnp.round(prior_t) if mode == "map" else prior_t
+        z_conceal = _apply_bit_mask(z_hat, cmask_t)
+        phi_z_t = jnp.where(
+            lost_t[:, None] > 0, phi_z_apply(params, z_conceal, prec), phi_z_rx_t
+        )
+        dec_t = dec_apply(params, jnp.concatenate([phi_z_t, h], -1), prec)
+        phi_x_gen = phi_x_apply(params, _normalize(params, dec_t), prec)
+        h_next = gru_step(
+            params["gru"], jnp.concatenate([phi_x_gen, phi_z_t], -1), h, prec
+        )
+        return h_next, dec_t
+
+    xs = (
+        jnp.swapaxes(phi_z, 0, 1),
+        jnp.swapaxes(lost_f, 0, 1),
+        jnp.swapaxes(cmask, 0, 1),
+    )
+    h_final, dec_seq = jax.lax.scan(step, h.astype(cfg.dtype), xs)
+    return jnp.swapaxes(dec_seq, 0, 1), h_final
+
+
 # ---------------------------------------------------------------------------
 # Training forward (scheduled sampling + Bernoulli KL)
 # ---------------------------------------------------------------------------

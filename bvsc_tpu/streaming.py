@@ -262,18 +262,50 @@ class StreamingDecoder:
             )
             return wav[:, 0, :] / SCALING, h, voc_state
 
-        self._decode = jax.jit(decode_frames)
+        def conceal_frames(params, voc_params, codes, lost, cbits, h, voc_state):
+            mel, h = bvrnn_mod.decode_plc(
+                params, codec.bvrnn_cfg, codes, lost, h, cbits
+            )
+            voc_state, wav = generator_stream_step(
+                voc_params, conf.vocoder_config, voc_state, jnp.swapaxes(mel, 1, 2)
+            )
+            return wav[:, 0, :] / SCALING, h, voc_state
 
-    def feed(self, codes: np.ndarray) -> np.ndarray:
-        """Push (batch, n, z_dim) code frames; returns (batch, n*hop) samples."""
+        self._decode = jax.jit(decode_frames)
+        self._decode_plc = jax.jit(conceal_frames)
+
+    def feed(self, codes: np.ndarray, lost: np.ndarray | None = None) -> np.ndarray:
+        """Push (batch, n, z_dim) code frames; returns (batch, n*hop) samples.
+
+        lost: optional (batch, n) 0/1 mask of frames whose packets never
+        arrived — their codes are ignored and concealed from the BVRNN's own
+        prior (``models.bvrnn.decode_plc``)."""
         codes = jnp.asarray(np.asarray(codes, np.float32))
         if codes.shape[1] == 0:
             return np.zeros((self.batch, 0), np.float32)
-        wav, self.h, self.voc_state = self._decode(
-            self.codec.bvrnn_params, self.codec.vocoder_params, codes,
-            self.h, self.voc_state,
-        )
+        if lost is not None:
+            wav, self.h, self.voc_state = self._decode_plc(
+                self.codec.bvrnn_params, self.codec.vocoder_params, codes,
+                jnp.asarray(np.asarray(lost, np.float32)), None,
+                self.h, self.voc_state,
+            )
+        else:
+            wav, self.h, self.voc_state = self._decode(
+                self.codec.bvrnn_params, self.codec.vocoder_params, codes,
+                self.h, self.voc_state,
+            )
         return np.asarray(wav)
+
+    def conceal(self, n_frames: int = 1) -> np.ndarray:
+        """Emit audio for ``n_frames`` lost packets (prior-based PLC): the
+        decoder free-runs on the prior's expected codes ``P(z_t | h_t)``
+        and the vocoder keeps streaming — 256 samples per lost 11.6 ms
+        frame, no gap in the output.  Subsequent received frames
+        re-converge the hidden state (tested in test_plc.py)."""
+        codes = jnp.full(
+            (self.batch, n_frames, self.codec.conf.z_dim), 0.5, jnp.float32
+        )
+        return self.feed(codes, lost=np.ones((self.batch, n_frames), np.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("bcfg", "vcfg", "frontend"))
