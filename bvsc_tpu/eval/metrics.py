@@ -114,6 +114,32 @@ def stoi(ref: np.ndarray, deg: np.ndarray, fs: int = 22050) -> float:
     return float((num / den).mean())
 
 
+def mcd(frontend: MelFrontend, ref: np.ndarray, deg: np.ndarray,
+        n_coeffs: int = 13) -> float:
+    """Mel-cepstral distortion in dB (Kubichek 1993), frame-aligned.
+
+    Mel-cepstra are the orthonormal DCT-II of the log-mel spectrogram
+    (the codec's own frontend, so the metric measures exactly the domain
+    the BVRNN codes); coefficients 1..n_coeffs (c0 excluded, so the metric
+    is gain-invariant) enter the standard
+    ``(10 sqrt(2) / ln 10) * mean_t ||c_ref(t) - c_deg(t)||`` formula.
+    Signals are assumed time-aligned (true for a codec: the output is
+    sample-synchronous with the input), so no DTW is applied.
+
+    Complements ``mel_l1`` (reference ``train.py:179-182``) with the
+    standard vocoder-literature number; lower is better, ~0 for identical
+    signals, typically 2-8 dB for neural codecs.
+    """
+    import scipy.fft
+
+    x = np.asarray(frontend(jnp.asarray(ref, jnp.float32)[None]))[0]  # (M, T)
+    y = np.asarray(frontend(jnp.asarray(deg, jnp.float32)[None]))[0]
+    cx = scipy.fft.dct(x, type=2, axis=0, norm="ortho")[1 : n_coeffs + 1]
+    cy = scipy.fft.dct(y, type=2, axis=0, norm="ortho")[1 : n_coeffs + 1]
+    dist = np.sqrt(((cx - cy) ** 2).sum(axis=0))
+    return float((10.0 * np.sqrt(2.0) / np.log(10.0)) * dist.mean())
+
+
 def pesq_wb_16k(ref_22k: np.ndarray, test_22k: np.ndarray, fs: int = 22050):
     """PESQ wideband at 16 kHz (reference ``train.py:184-191``).  Returns
     None when the ``pesq`` package is unavailable."""

@@ -83,7 +83,7 @@ def main(argv=None):
                                      "/root/.cache/jax_comp"))
 
     from bvsc_tpu.codec import BVRNNCodecModel
-    from bvsc_tpu.eval.metrics import mel_l1, mrstft, pesq_wb_16k, stoi
+    from bvsc_tpu.eval.metrics import mcd, mel_l1, mrstft, pesq_wb_16k, stoi
     from bvsc_tpu.ops.mel import MelFrontend
 
     codec = BVRNNCodecModel(
@@ -125,6 +125,7 @@ def main(argv=None):
                 "mel_l1": float(mel_l1(frontend, xj, yj)),
                 "mrstft": float(mrstft(yj, xj)),
                 "stoi": float(stoi(x, y)),
+                "mcd_db": float(mcd(frontend, x, y)),
             }
             if ecoder is not None:
                 codes = np.asarray(codec.encode(x[None, :], bps))[0]
@@ -144,7 +145,7 @@ def main(argv=None):
         sel = [r for r in rows if r["bps"] == bps]
         summary[str(bps)] = {
             k: round(float(np.mean([r[k] for r in sel])), 4)
-            for k in ("mel_l1", "mrstft", "stoi", *(
+            for k in ("mel_l1", "mrstft", "stoi", "mcd_db", *(
                 ("pesq_wb",) if all("pesq_wb" in r for r in sel) else ()), *(
                 ("entropy_bps", "entropy_saving_pct")
                 if all("entropy_bps" in r for r in sel) else ()))

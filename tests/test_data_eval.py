@@ -261,3 +261,27 @@ def test_stoi_on_real_speech_orders_controlled_degradations():
     s_heavy = stoi(ref, ref + 2.0 * noise)
     assert abs(s_id - 1.0) < 1e-10
     assert s_id > s_mild > s_lp > s_heavy, (s_id, s_mild, s_lp, s_heavy)
+
+
+def test_mcd_properties():
+    """MCD (Kubichek 1993): 0 for identity, gain-invariant (c0 excluded),
+    monotone in noise level, and in the literature's typical range for a
+    mildly degraded signal."""
+    from bvsc_tpu.eval.metrics import mcd
+    from bvsc_tpu.ops.mel import MelFrontend
+
+    frontend = MelFrontend(
+        sampling_rate=22050, n_fft=1024, num_mels=80, hop_size=256,
+        win_size=1024, fmin=0.0, fmax=8000.0, padding_left=256,
+    )
+    rng = np.random.default_rng(0)
+    t = np.arange(2 * 22050) / 22050
+    x = (rng.standard_normal(t.size)
+         * (0.2 + np.abs(np.sin(2 * np.pi * 3 * t)))).astype(np.float32)
+    assert mcd(frontend, x, x) == 0.0
+    # gain change only moves c0, which is excluded
+    assert mcd(frontend, x, 0.5 * x) < 1e-4
+    noise = rng.standard_normal(t.size).astype(np.float32)
+    scores = [mcd(frontend, x, x + g * noise) for g in (0.01, 0.1, 0.5)]
+    assert scores[0] < scores[1] < scores[2], scores
+    assert 0 < scores[0] < 10
