@@ -73,7 +73,15 @@ class AudioSegmentDataset:
         base_mels_path: str | None = None,
         check_integrity: bool = True,
         n_cache_reuse: int = 1,
+        augment: dict | None = None,
     ):
+        """augment (train-split only; the reference has no augmentation):
+        optional dict enabling on-the-fly waveform augmentation per fetch —
+        ``{"speed": (lo, hi)}`` resamples by a random factor (polyphase,
+        rational p/100 approximation; changes duration AND pitch like
+        classic speed perturbation), ``{"gain_db": (lo, hi)}`` scales by a
+        random gain (a constant shift of the log-mel — counters overfitting
+        of the frozen mel statistics on tiny corpora)."""
         self.audio_files = list(audio_files)
         rng = random.Random(seed)
         if shuffle:
@@ -86,6 +94,11 @@ class AudioSegmentDataset:
         self.fine_tuning = fine_tuning
         self.base_mels_path = base_mels_path
         self._rng = np.random.default_rng(seed)
+        self.augment = dict(augment) if augment else None
+        if self.augment:
+            unknown = set(self.augment) - {"speed", "gain_db"}
+            if unknown:
+                raise ValueError(f"unknown augment keys {sorted(unknown)}")
         # wav cache (reference meldataset.py:145-171): serve the same decoded
         # wav for n_cache_reuse consecutive fetches (different random crops),
         # trading sample diversity for disk-read throughput.  1 = off.
@@ -153,6 +166,7 @@ class AudioSegmentDataset:
             return audio, mel, filename
 
         if self.split:
+            audio = self._apply_augment(audio)
             if audio.shape[0] >= self.segment_size:
                 start = int(self._rng.integers(0, audio.shape[0] - self.segment_size + 1))
                 audio = audio[start : start + self.segment_size]
@@ -162,6 +176,27 @@ class AudioSegmentDataset:
             if audio.shape[0] % self.hop_size:
                 audio = audio[: -(audio.shape[0] % self.hop_size)]
         return audio, None, filename
+
+    def _apply_augment(self, audio: np.ndarray) -> np.ndarray:
+        if not self.augment:
+            return audio
+        speed = self.augment.get("speed")
+        if speed:
+            f = float(self._rng.uniform(*speed))
+            p = max(1, int(round(f * 100)))  # rational f ~= p/100
+            if p != 100:
+                import scipy.signal
+
+                # playback f times faster => length / f => up=100, down=p
+                audio = scipy.signal.resample_poly(
+                    audio.astype(np.float64), 100, p
+                ).astype(np.float32)
+        gain_db = self.augment.get("gain_db")
+        if gain_db:
+            audio = audio * np.float32(
+                10.0 ** (self._rng.uniform(*gain_db) / 20.0)
+            )
+        return audio
 
     def batches(
         self, batch_size: int, *, host_id: int = 0, num_hosts: int = 1,

@@ -40,6 +40,10 @@ def parse_args(argv=None):
     p.add_argument("--stats_batches", type=int, default=8,
                    help="batches used to estimate mel mean/std")
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--augment", action="store_true",
+                   help="on-the-fly speed perturbation (0.85-1.15) + "
+                        "random gain (-10..0 dB) per crop — counters "
+                        "overfitting on tiny corpora")
     return p.parse_args(argv)
 
 
@@ -79,7 +83,9 @@ def main(argv=None):
         ]
     train_files = [f if f.endswith(".wav") else f + ".wav" for f in train_files]
     trainset = AudioSegmentDataset(
-        train_files, segment, conf.fs, conf.hopsize, seed=args.seed
+        train_files, segment, conf.fs, conf.hopsize, seed=args.seed,
+        augment={"speed": (0.85, 1.15), "gain_db": (-10.0, 0.0)}
+        if args.augment else None,
     )
 
     frontend = MelFrontend(

@@ -1,6 +1,7 @@
 """Data pipeline, checkpoint, and eval tooling tests."""
 
 import os
+import tempfile
 
 import numpy as np
 import pytest
@@ -285,3 +286,54 @@ def test_mcd_properties():
     scores = [mcd(frontend, x, x + g * noise) for g in (0.01, 0.1, 0.5)]
     assert scores[0] < scores[1] < scores[2], scores
     assert 0 < scores[0] < 10
+
+
+def test_dataset_augmentation():
+    """Speed/gain augmentation: train-split only, seeded-deterministic,
+    speed changes the pre-crop duration, gain scales amplitude, unknown
+    keys rejected."""
+    import scipy.io.wavfile
+
+    from bvsc_tpu.data.dataset import AudioSegmentDataset
+
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "a.wav")
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(22050) * 0.2).astype(np.float32)
+    scipy.io.wavfile.write(path, 22050, (wav * 32767).astype(np.int16))
+
+    seg = 4096
+    plain = AudioSegmentDataset([path], seg, 22050, 256, seed=7)
+    ds = AudioSegmentDataset(
+        [path], seg, 22050, 256, seed=7,
+        augment={"speed": (0.85, 1.15), "gain_db": (-10.0, 0.0)},
+    )
+    a0, _, _ = ds[0]
+    assert a0.shape == (seg,)
+    # deterministic under the same seed
+    ds2 = AudioSegmentDataset(
+        [path], seg, 22050, 256, seed=7,
+        augment={"speed": (0.85, 1.15), "gain_db": (-10.0, 0.0)},
+    )
+    np.testing.assert_array_equal(a0, ds2[0][0])
+    # different from the unaugmented crop, and consecutive fetches differ
+    assert not np.array_equal(a0, plain[0][0])
+    assert not np.array_equal(a0, ds[0][0])
+    # gain-only augmentation scales a fixed crop
+    g = AudioSegmentDataset(
+        [path], 22050 * 2, 22050, 256, seed=7, augment={"gain_db": (-6.0, -6.0)}
+    )
+    full = plain._load(path)
+    got, _, _ = g[0]
+    np.testing.assert_allclose(
+        got[: full.shape[0]], full * 10 ** (-6 / 20), rtol=1e-5, atol=1e-7
+    )
+    # validation mode (split=False) never augments
+    v = AudioSegmentDataset(
+        [path], seg, 22050, 256, split=False, seed=7,
+        augment={"speed": (0.5, 0.5)},
+    )
+    a_val, _, _ = v[0]
+    assert a_val.shape[0] == 22050 - (22050 % 256)
+    with pytest.raises(ValueError, match="augment keys"):
+        AudioSegmentDataset([path], seg, 22050, 256, augment={"pitch": (1, 2)})
