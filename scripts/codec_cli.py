@@ -78,7 +78,10 @@ def read_bvsc(path, coder_factory=None):
     with open(path, "rb") as f:
         if f.read(4) != MAGIC:
             raise ValueError(f"{path}: not a BVSC bitstream")
-        version, z_dim, bits, fs, frames = struct.unpack("<BBHII", f.read(12))
+        header = f.read(12)
+        if len(header) != 12:
+            raise ValueError(f"{path}: truncated header")
+        version, z_dim, bits, fs, frames = struct.unpack("<BBHII", header)
         if version not in (VERSION_RAW, VERSION_ENTROPY):
             raise ValueError(f"{path}: unsupported version {version}")
         if bits == _BITS_VBR:
