@@ -50,6 +50,11 @@ def parse_args(argv=None):
     p.add_argument("--entropy", action="store_true",
                    help="also report the effective bitrate after "
                         "prior-adaptive entropy coding (wire-format v2)")
+    p.add_argument("--loss_rate", type=float, default=None,
+                   help="also evaluate under this random packet-loss "
+                        "probability with prior-based concealment "
+                        "(metrics reported with a _plc suffix)")
+    p.add_argument("--loss_seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=None, help="max stimuli")
     p.add_argument("--out_json", default=None)
     return p.parse_args(argv)
@@ -127,6 +132,19 @@ def main(argv=None):
                 "stoi": float(stoi(x, y)),
                 "mcd_db": float(mcd(frontend, x, y)),
             }
+            if args.loss_rate is not None:
+                codes = np.asarray(codec.encode(x[None, :], bps))[0]
+                lrng = np.random.default_rng(args.loss_seed)
+                lost = (lrng.uniform(size=codes.shape[0])
+                        < args.loss_rate).astype(np.float32)
+                y_plc = np.asarray(codec.decode(
+                    codes[None], x.shape[0], lost=lost[None],
+                    conceal_bitrate=bps,
+                ))[0]
+                yp = jnp.asarray(y_plc[None, :])
+                row["loss_pct"] = round(100.0 * float(lost.mean()), 2)
+                row["mel_l1_plc"] = float(mel_l1(frontend, xj, yp))
+                row["stoi_plc"] = float(stoi(x, y_plc))
             if ecoder is not None:
                 codes = np.asarray(codec.encode(x[None, :], bps))[0]
                 m = ecoder.measure(codes, int(round(codec.bits_per_frame(bps))))
@@ -148,7 +166,9 @@ def main(argv=None):
             for k in ("mel_l1", "mrstft", "stoi", "mcd_db", *(
                 ("pesq_wb",) if all("pesq_wb" in r for r in sel) else ()), *(
                 ("entropy_bps", "entropy_saving_pct")
-                if all("entropy_bps" in r for r in sel) else ()))
+                if all("entropy_bps" in r for r in sel) else ()), *(
+                ("mel_l1_plc", "stoi_plc")
+                if all("mel_l1_plc" in r for r in sel) else ()))
         }
     out = {"n_stimuli": len(wavs), "summary": summary}
     print(json.dumps(out))
