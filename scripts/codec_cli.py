@@ -128,6 +128,10 @@ def main(argv=None):
                         "the BVRNN prior (~17-30%% smaller payload, "
                         "bit-identical codes; decode needs the same "
                         "checkpoint)")
+    p.add_argument("--fs_out", type=int, default=None,
+                   help="decode only: resample the output to this rate "
+                        "(e.g. 16000 — the paper's 16 kHz MUSHRA "
+                        "conditions are produced this way)")
     p.add_argument("--config", default=None)
     p.add_argument("--bvrnn_checkpoint", default=None)
     p.add_argument("--vocoder_checkpoint", default=None)
@@ -152,9 +156,17 @@ def main(argv=None):
         return PriorEntropyCoder(codec.bvrnn_params, codec.bvrnn_cfg)
 
     if args.mode == "encode":
-        wav, _ = load_wav(args.input, fs)
+        # any input rate: resample to the model rate like the reference's
+        # own example flow (reference example.py:12-16)
+        wav, fs_in = load_wav(args.input)
         if wav.ndim > 1:
             wav = wav[:, 0]
+        if fs_in != fs:
+            import scipy.signal
+
+            wav = scipy.signal.resample_poly(
+                wav.astype(np.float64), fs, fs_in
+            ).astype(np.float32)
         codes = np.asarray(codec.encode(wav[None, :], args.bitrate))[0]
         write_bvsc(args.output, codes, codec.conf.bits_per_frame(args.bitrate),
                    fs, coder=coder_factory() if args.entropy else None)
@@ -167,10 +179,17 @@ def main(argv=None):
         codes, bits, fs_stream = read_bvsc(args.input, coder_factory)
         length = codes.shape[0] * codec.conf.hopsize
         wav = np.asarray(codec.decode(codes[None], length))[0]
+        if args.fs_out and args.fs_out != fs_stream:
+            import scipy.signal
+
+            wav = scipy.signal.resample_poly(
+                wav.astype(np.float64), args.fs_out, fs_stream
+            ).astype(np.float32)
+            fs_stream = args.fs_out
         save_wav(wav, args.output, fs_stream)
         bits_desc = (f"VBR, mean {float(np.mean(bits)):.1f}"
                      if np.ndim(bits) else bits)
-        print(f"{args.output}: {length} samples @ {fs_stream} Hz "
+        print(f"{args.output}: {wav.shape[0]} samples @ {fs_stream} Hz "
               f"(payload was {bits_desc} bits/frame)")
 
 

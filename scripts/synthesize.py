@@ -28,7 +28,21 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint_file", required=True,
                    help="torch g_* file or Orbax directory")
     p.add_argument("--config", default="configs/varbitrate.toml")
+    p.add_argument("--fs_out", type=int, default=None,
+                   help="resample outputs to this rate before writing")
     return p.parse_args(argv)
+
+
+def _resample(wav, fs, fs_out):
+    """Returns (wav', fs'): polyphase-resampled to fs_out when given."""
+    if not fs_out or fs_out == fs:
+        return wav, fs
+    import numpy as np
+    import scipy.signal
+
+    return scipy.signal.resample_poly(
+        wav.astype(np.float64), fs_out, fs
+    ).astype(np.float32), fs_out
 
 
 def main(argv=None):
@@ -70,7 +84,8 @@ def main(argv=None):
                 args.output_dir,
                 os.path.splitext(os.path.basename(f))[0] + "_generated.wav",
             )
-            save_wav(np.asarray(out), dst, conf.fs)
+            wav_out, fs_out = _resample(np.asarray(out), conf.fs, args.fs_out)
+            save_wav(wav_out, dst, fs_out)
             print(dst)
     else:
         files = sorted(glob.glob(os.path.join(args.input_mels_dir, "*.npy")))
@@ -85,7 +100,8 @@ def main(argv=None):
                 args.output_dir,
                 os.path.splitext(os.path.basename(f))[0] + "_generated_e2e.wav",
             )
-            save_wav(np.asarray(out), dst, conf.fs)
+            wav_out, fs_out = _resample(np.asarray(out), conf.fs, args.fs_out)
+            save_wav(wav_out, dst, fs_out)
             print(dst)
 
 
