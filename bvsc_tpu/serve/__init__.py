@@ -1,5 +1,5 @@
 """Batched multi-stream serving runtime."""
 
-from bvsc_tpu.serve.engine import ServingEngine
+from bvsc_tpu.serve.engine import DecodeEngine, ServingEngine
 
-__all__ = ["ServingEngine"]
+__all__ = ["DecodeEngine", "ServingEngine"]

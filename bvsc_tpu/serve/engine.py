@@ -235,3 +235,122 @@ class ServingEngine:
         codes_np = np.asarray(codes)
         wav_np = np.asarray(wav)
         return {sid: (codes_np[sid], wav_np[sid]) for sid in advanced}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bcfg", "vcfg"), donate_argnums=(2,)
+)
+def _decode_tick(params, voc_params, state, codes, lost, active, *, bcfg, vcfg):
+    """ONE dispatch advancing every active decode-only slot by one frame.
+
+    state: {h (B, h_dim), voc (pytree)}; codes: (B, z_dim); lost: (B,)
+    0/1 flags selecting prior-based concealment (models.bvrnn.decode_plc).
+    Returns (new_state, wav (B, hop)).
+    """
+    mel, h = bvrnn_mod.decode_plc(
+        params, bcfg, codes[:, None, :], lost[:, None], state["h"]
+    )
+    voc_state, wav = generator_stream_step(
+        voc_params, vcfg, state["voc"], jnp.swapaxes(mel, 1, 2)
+    )
+    mask = active[:, None]
+    new_state = {
+        "h": jnp.where(mask, h, state["h"]),
+        "voc": jax.tree.map(
+            lambda new, old: jnp.where(
+                mask[..., None] if new.ndim == 3 else mask, new, old
+            ),
+            voc_state,
+            state["voc"],
+        ),
+    }
+    return new_state, wav[:, 0, :] / SCALING
+
+
+class DecodeEngine:
+    """Batched decode-only serving: code streams in, audio out.
+
+    The receiver-side counterpart of :class:`ServingEngine` — e.g. a relay
+    decoding many remote parties at once.  Every slot carries (BVRNN h,
+    streaming-vocoder buffers) on device; ``tick()`` advances all slots
+    with a queued frame in ONE fused dispatch.  Frames may be flagged lost
+    (``push_lost`` / the ``lost`` argument of ``push``): they are concealed
+    from the BVRNN's own prior with no output gap, per stream.  One slot is
+    numerically identical to a dedicated ``StreamingDecoder`` (tested).
+    """
+
+    def __init__(self, codec: BVRNNCodecModel, max_streams: int = 128):
+        self.codec = codec
+        conf = codec.conf
+        self.B = max_streams
+        self.hop = conf.hopsize
+        self.z_dim = conf.z_dim
+        dtype = codec.bvrnn_cfg.dtype
+        self.state = {
+            "h": jnp.zeros((self.B, conf.h_dim), dtype),
+            "voc": generator_stream_init(conf.vocoder_config, self.B, dtype),
+        }
+        self._free = list(range(max_streams))
+        self._active = np.zeros(self.B, bool)
+        # per-slot host queues of (codes (z,), lost flag) frames
+        self._inq: list[list[tuple[np.ndarray, bool]]] = [
+            [] for _ in range(self.B)
+        ]
+        self._bcfg = codec.bvrnn_cfg
+        self._vcfg = conf.vocoder_config
+
+    def open_stream(self) -> int:
+        if not self._free:
+            raise RuntimeError("no free stream slots")
+        sid = self._free.pop(0)
+        self._active[sid] = True
+        self._inq[sid] = []
+        self.state = jax.tree.map(lambda s: s.at[sid].set(0.0), self.state)
+        return sid
+
+    def close_stream(self, sid: int) -> None:
+        assert self._active[sid]
+        self._active[sid] = False
+        self._free.append(sid)
+
+    def push(self, sid: int, codes: np.ndarray, lost=None) -> None:
+        """Enqueue (n, z_dim) code frames; lost: optional (n,) 0/1 flags."""
+        codes = np.asarray(codes, np.float32).reshape(-1, self.z_dim)
+        lost = np.zeros(codes.shape[0]) if lost is None else np.asarray(lost)
+        for frame, flag in zip(codes, lost):
+            self._inq[sid].append((frame, bool(flag)))
+
+    def push_lost(self, sid: int, n: int = 1) -> None:
+        """Enqueue n never-arrived frames (concealed at tick)."""
+        neutral = np.full(self.z_dim, 0.5, np.float32)
+        for _ in range(n):
+            self._inq[sid].append((neutral, True))
+
+    def tick(self) -> dict[int, np.ndarray]:
+        """Advance every stream with a queued frame; {sid: wav (hop,)}."""
+        advanced = [
+            sid for sid in range(self.B)
+            if self._active[sid] and self._inq[sid]
+        ]
+        if not advanced:
+            return {}
+        codes = np.full((self.B, self.z_dim), 0.5, np.float32)
+        lost = np.zeros(self.B, np.float32)
+        for sid in advanced:
+            frame, flag = self._inq[sid].pop(0)
+            codes[sid] = frame
+            lost[sid] = float(flag)
+        active = np.zeros(self.B, bool)
+        active[advanced] = True
+        self.state, wav = _decode_tick(
+            self.codec.bvrnn_params,
+            self.codec.vocoder_params,
+            self.state,
+            jnp.asarray(codes),
+            jnp.asarray(lost),
+            jnp.asarray(active),
+            bcfg=self._bcfg,
+            vcfg=self._vcfg,
+        )
+        wav_np = np.asarray(wav)
+        return {sid: wav_np[sid] for sid in advanced}

@@ -208,3 +208,62 @@ def test_engine_sharded_over_mesh_matches_unsharded(codec, rng):
     c_plain = run(ServingEngine(codec, max_streams=8))
     c_mesh = run(ServingEngine(codec, max_streams=8, mesh=make_mesh(8)))
     np.testing.assert_array_equal(c_mesh, c_plain)
+
+
+def test_decode_engine_matches_streaming_decoder(codec, rng):
+    """One DecodeEngine slot == a dedicated StreamingDecoder on the same
+    code/loss sequence; slots are independent; lost frames are concealed
+    with no output gap; closed slots reset on reuse."""
+    from bvsc_tpu.serve.engine import DecodeEngine
+    from bvsc_tpu.streaming import StreamingDecoder
+
+    n = 12
+    z = codec.conf.z_dim
+    hop = codec.conf.hopsize
+    codes_a = (rng.uniform(size=(n, z)) > 0.5).astype(np.float32)
+    codes_b = (rng.uniform(size=(n, z)) > 0.5).astype(np.float32)
+    lost_a = np.zeros(n, np.float32)
+    lost_a[4] = 1.0
+
+    eng = DecodeEngine(codec, max_streams=4)
+    sa = eng.open_stream()
+    sb = eng.open_stream()
+    eng.push(sa, codes_a, lost=lost_a)
+    eng.push(sb, codes_b)
+
+    out_a, out_b = [], []
+    for _ in range(n):
+        res = eng.tick()
+        out_a.append(res[sa])
+        out_b.append(res[sb])
+    assert eng.tick() == {}
+    wav_a = np.concatenate(out_a)
+    wav_b = np.concatenate(out_b)
+    assert wav_a.shape == (n * hop,)
+
+    ref_dec = StreamingDecoder(codec, batch=1)
+    ref_a = []
+    for t in range(n):
+        if lost_a[t]:
+            ref_a.append(ref_dec.conceal(1))
+        else:
+            ref_a.append(ref_dec.feed(codes_a[None, t : t + 1]))
+    ref_a = np.concatenate(ref_a, axis=1)[0]
+    np.testing.assert_allclose(wav_a, ref_a, atol=1e-5)
+
+    ref_dec_b = StreamingDecoder(codec, batch=1)
+    ref_b = ref_dec_b.feed(codes_b[None])[0]
+    np.testing.assert_allclose(wav_b, ref_b, atol=1e-5)
+
+    # push_lost conceals with no gap; slot reuse starts fresh
+    eng.close_stream(sa)
+    sc = eng.open_stream()
+    eng.push(sc, codes_b[:2])
+    eng.push_lost(sc, 2)
+    eng.push(sc, codes_b[4:6])
+    outs = [eng.tick()[sc] for _ in range(6)]
+    got = np.concatenate(outs)
+    assert got.shape == (6 * hop,) and np.isfinite(got).all()
+    # the fresh slot's first frames equal a fresh decoder's
+    ref_c = StreamingDecoder(codec, batch=1).feed(codes_b[None, :2])[0]
+    np.testing.assert_allclose(got[: 2 * hop], ref_c, atol=1e-5)
