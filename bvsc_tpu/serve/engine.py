@@ -317,6 +317,10 @@ class DecodeEngine:
         """Enqueue (n, z_dim) code frames; lost: optional (n,) 0/1 flags."""
         codes = np.asarray(codes, np.float32).reshape(-1, self.z_dim)
         lost = np.zeros(codes.shape[0]) if lost is None else np.asarray(lost)
+        if lost.shape != (codes.shape[0],):
+            raise ValueError(
+                f"lost shape {lost.shape} != ({codes.shape[0]},)"
+            )
         for frame, flag in zip(codes, lost):
             self._inq[sid].append((frame, bool(flag)))
 

@@ -267,3 +267,13 @@ def test_decode_engine_matches_streaming_decoder(codec, rng):
     # the fresh slot's first frames equal a fresh decoder's
     ref_c = StreamingDecoder(codec, batch=1).feed(codes_b[None, :2])[0]
     np.testing.assert_allclose(got[: 2 * hop], ref_c, atol=1e-5)
+
+
+def test_decode_engine_rejects_mismatched_lost(codec):
+    from bvsc_tpu.serve.engine import DecodeEngine
+
+    eng = DecodeEngine(codec, max_streams=2)
+    sid = eng.open_stream()
+    z = codec.conf.z_dim
+    with pytest.raises(ValueError, match="lost shape"):
+        eng.push(sid, np.zeros((3, z), np.float32), lost=np.zeros(2))
