@@ -173,7 +173,7 @@ class BVRNNCodecModel:
         )
         self._decode_plc_jit = jax.jit(
             functools.partial(_decode_plc_impl, bcfg=self.bvrnn_cfg),
-            static_argnames=("vcfg", "length", "mode"),
+            static_argnames=("vcfg", "length", "mode", "pallas_compute"),
         )
         self._forward_jit = jax.jit(
             functools.partial(_forward_impl, bcfg=self.bvrnn_cfg),
@@ -194,6 +194,26 @@ class BVRNNCodecModel:
         bits = np.round(np.asarray(bitrate, np.float64)
                         * self.conf.hopsize / self.conf.fs)
         return float(bits) if bits.ndim == 0 else bits.astype(np.float32)
+
+    def _frame_bits(self, bitrate, batch: int, L: int, Lp: int,
+                    n_frames: int):
+        """bps (scalar or per-frame schedule) -> bits/frame, validated
+        against the frame count and padded to the length bucket (padded
+        frames get 0 bits; they are trimmed/invalidated downstream)."""
+        bits = self.bits_per_frame(bitrate)
+        if not np.ndim(bits):
+            return bits
+        frames_expected = (n_frames,) if np.ndim(bits) == 1 else (
+            batch, n_frames)
+        if np.shape(bits) != frames_expected:
+            raise ValueError(
+                f"per-frame bitrate shape {np.shape(bits)} != "
+                f"{frames_expected} ({n_frames} frames for {L} samples)"
+            )
+        Tp = self.frontend.num_frames(Lp)
+        pad = ((0, Tp - n_frames),) if np.ndim(bits) == 1 else (
+            (0, 0), (0, Tp - n_frames))
+        return np.pad(bits, pad)
 
     # -- public API ----------------------------------------------------------
 
@@ -220,21 +240,7 @@ class BVRNNCodecModel:
         Lp = self._pad_length(L)
         x = jnp.pad(x, ((0, 0), (0, Lp - L)))
         n_frames = self.frontend.num_frames(L)
-        bits = self.bits_per_frame(bitrate)
-        if np.ndim(bits):
-            frames_expected = (n_frames,) if np.ndim(bits) == 1 else (
-                x.shape[0], n_frames)
-            if np.shape(bits) != frames_expected:
-                raise ValueError(
-                    f"per-frame bitrate shape {np.shape(bits)} != "
-                    f"{frames_expected} ({n_frames} frames for {L} samples)"
-                )
-            # pad the schedule to the length bucket; padded frames are
-            # trimmed from the returned codes so their allocation is moot
-            Tp = self.frontend.num_frames(Lp)
-            pad = ((0, Tp - n_frames),) if np.ndim(bits) == 1 else (
-                (0, 0), (0, Tp - n_frames))
-            bits = np.pad(bits, pad)
+        bits = self._frame_bits(bitrate, x.shape[0], L, Lp, n_frames)
         codes = self._encode_jit(
             self.bvrnn_params,
             x,
@@ -298,9 +304,14 @@ class BVRNNCodecModel:
                 codes,
                 jnp.asarray(lost),
                 None if cbits is None else jnp.asarray(cbits),
+                self._voc_kernel_blocks,
                 vcfg=self.conf.vocoder_config,
                 length=padded_len,
                 mode=conceal_mode,
+                pallas_compute=(
+                    "bf16" if self.precision == jax.lax.Precision.DEFAULT
+                    else "f32"
+                ),
             )
         else:
             y = self._decode_jit(
@@ -366,7 +377,10 @@ class BVRNNCodecModel:
             self.bvrnn_params,
             self.vocoder_params,
             x,
-            jnp.asarray(self.bits_per_frame(bitrate), jnp.float32),
+            jnp.asarray(
+                self._frame_bits(bitrate, x.shape[0], L, Lp, n_frames),
+                jnp.float32,
+            ),
             jnp.asarray(n_frames, jnp.int32),
             self._voc_kernel_blocks,
             frontend=self.frontend,
@@ -450,8 +464,8 @@ def _decode_mel_impl(params, codes, *, cfg):
 
 
 def _decode_plc_impl(
-    params, voc_params, codes, lost, conceal_bits, *, bcfg, vcfg, length,
-    mode="expect",
+    params, voc_params, codes, lost, conceal_bits, kernel_blocks=None, *,
+    bcfg, vcfg, length, mode="expect", pallas_compute="bf16",
 ):
     """Decode with prior-based packet-loss concealment (models.bvrnn.decode_plc)."""
     B = codes.shape[0]
@@ -460,9 +474,18 @@ def _decode_plc_impl(
         params, bcfg, codes, lost, h0, conceal_bits, mode=mode
     )
     mel = jnp.swapaxes(mel, 1, 2)
-    wav = voc_mod.generator_apply(
-        voc_params, vcfg, mel, length, precision=bcfg.precision,
-    )
+    if kernel_blocks is not None:
+        wav = voc_mod.generator_apply_pallas(
+            voc_params, kernel_blocks, vcfg, mel, length,
+            precision=bcfg.precision,
+            compute_dtype=(
+                jnp.bfloat16 if pallas_compute == "bf16" else jnp.float32
+            ),
+        )
+    else:
+        wav = voc_mod.generator_apply(
+            voc_params, vcfg, mel, length, precision=bcfg.precision,
+        )
     return wav[:, 0, :] / SCALING
 
 

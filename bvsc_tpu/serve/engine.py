@@ -80,15 +80,22 @@ def _fused_tick(
     new_state = {
         "window": jnp.where(mask, window, state["window"]),
         "h": jnp.where(mask, h, state["h"]),
-        "voc": jax.tree.map(
-            lambda new, old: jnp.where(
-                mask[..., None] if new.ndim == 3 else mask, new, old
-            ),
-            voc_state,
-            state["voc"],
-        ),
+        "voc": _merge_active(mask, voc_state, state["voc"]),
     }
     return new_state, codes[:, 0, :], wav[:, 0, :] / SCALING
+
+
+def _merge_active(mask, new_tree, old_tree):
+    """Keep inactive slots' state rows untouched: where(active, new, old)
+    over a vocoder-state pytree (leaves are (B, C, k) buffers or (B, n)
+    carries)."""
+    return jax.tree.map(
+        lambda new, old: jnp.where(
+            mask[..., None] if new.ndim == 3 else mask, new, old
+        ),
+        new_tree,
+        old_tree,
+    )
 
 
 class ServingEngine:
@@ -240,15 +247,18 @@ class ServingEngine:
 @functools.partial(
     jax.jit, static_argnames=("bcfg", "vcfg"), donate_argnums=(2,)
 )
-def _decode_tick(params, voc_params, state, codes, lost, active, *, bcfg, vcfg):
+def _decode_tick(params, voc_params, state, codes, lost, cbits, active, *,
+                 bcfg, vcfg):
     """ONE dispatch advancing every active decode-only slot by one frame.
 
     state: {h (B, h_dim), voc (pytree)}; codes: (B, z_dim); lost: (B,)
-    0/1 flags selecting prior-based concealment (models.bvrnn.decode_plc).
+    0/1 flags selecting prior-based concealment (models.bvrnn.decode_plc);
+    cbits: (B,) per-slot concealment bit allocation.
     Returns (new_state, wav (B, hop)).
     """
     mel, h = bvrnn_mod.decode_plc(
-        params, bcfg, codes[:, None, :], lost[:, None], state["h"]
+        params, bcfg, codes[:, None, :], lost[:, None], state["h"],
+        cbits[:, None],
     )
     voc_state, wav = generator_stream_step(
         voc_params, vcfg, state["voc"], jnp.swapaxes(mel, 1, 2)
@@ -256,13 +266,7 @@ def _decode_tick(params, voc_params, state, codes, lost, active, *, bcfg, vcfg):
     mask = active[:, None]
     new_state = {
         "h": jnp.where(mask, h, state["h"]),
-        "voc": jax.tree.map(
-            lambda new, old: jnp.where(
-                mask[..., None] if new.ndim == 3 else mask, new, old
-            ),
-            voc_state,
-            state["voc"],
-        ),
+        "voc": _merge_active(mask, voc_state, state["voc"]),
     }
     return new_state, wav[:, 0, :] / SCALING
 
@@ -296,15 +300,24 @@ class DecodeEngine:
         self._inq: list[list[tuple[np.ndarray, bool]]] = [
             [] for _ in range(self.B)
         ]
+        # conceal_bits == z_dim is identical to "all prior bits"
+        self.cbits = np.full(self.B, float(self.z_dim), np.float32)
         self._bcfg = codec.bvrnn_cfg
         self._vcfg = conf.vocoder_config
 
-    def open_stream(self) -> int:
+    def open_stream(self, conceal_bitrate=None) -> int:
+        """conceal_bitrate: bps masking this stream's PLC-concealed frames
+        to its real allocation (the receiver knows it, e.g. from the .bvsc
+        table); None conceals with all ``z_dim`` prior bits."""
         if not self._free:
             raise RuntimeError("no free stream slots")
         sid = self._free.pop(0)
         self._active[sid] = True
         self._inq[sid] = []
+        self.cbits[sid] = (
+            float(self.z_dim) if conceal_bitrate is None
+            else self.codec.bits_per_frame(conceal_bitrate)
+        )
         self.state = jax.tree.map(lambda s: s.at[sid].set(0.0), self.state)
         return sid
 
@@ -352,6 +365,7 @@ class DecodeEngine:
             self.state,
             jnp.asarray(codes),
             jnp.asarray(lost),
+            jnp.asarray(self.cbits),
             jnp.asarray(active),
             bcfg=self._bcfg,
             vcfg=self._vcfg,

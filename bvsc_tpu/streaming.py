@@ -244,15 +244,27 @@ class StreamingEncoder:
 
 
 class StreamingDecoder:
-    """Binary codes in -> waveform out, 256 samples per code frame."""
+    """Binary codes in -> waveform out, 256 samples per code frame.
 
-    def __init__(self, codec, batch: int = 1):
+    conceal_bitrate: bps (scalar or per-stream (batch,) array) masking
+    PLC-concealed frames to the stream's real bit allocation (the
+    receiver knows it, e.g. from the .bvsc table); None conceals with all
+    ``z_dim`` prior bits."""
+
+    def __init__(self, codec, batch: int = 1, conceal_bitrate=None):
         self.codec = codec
         conf: CodecConfig = codec.conf
         self.batch = batch
         self.h = jnp.zeros((batch, conf.h_dim), codec.bvrnn_cfg.dtype)
         self.voc_state = generator_stream_init(
             conf.vocoder_config, batch, codec.bvrnn_cfg.dtype
+        )
+        # conceal_bits == z_dim is identical to "all prior bits" (the mask
+        # saturates), so one code path serves both cases
+        cb = (float(conf.z_dim) if conceal_bitrate is None
+              else codec.bits_per_frame(conceal_bitrate))
+        self.conceal_bits = jnp.broadcast_to(
+            jnp.asarray(cb, jnp.float32), (batch,)
         )
 
         def decode_frames(params, voc_params, codes, h, voc_state):
@@ -263,8 +275,9 @@ class StreamingDecoder:
             return wav[:, 0, :] / SCALING, h, voc_state
 
         def conceal_frames(params, voc_params, codes, lost, cbits, h, voc_state):
+            cb = jnp.broadcast_to(cbits[:, None], codes.shape[:2])
             mel, h = bvrnn_mod.decode_plc(
-                params, codec.bvrnn_cfg, codes, lost, h, cbits
+                params, codec.bvrnn_cfg, codes, lost, h, cb
             )
             voc_state, wav = generator_stream_step(
                 voc_params, conf.vocoder_config, voc_state, jnp.swapaxes(mel, 1, 2)
@@ -286,7 +299,7 @@ class StreamingDecoder:
         if lost is not None:
             wav, self.h, self.voc_state = self._decode_plc(
                 self.codec.bvrnn_params, self.codec.vocoder_params, codes,
-                jnp.asarray(np.asarray(lost, np.float32)), None,
+                jnp.asarray(np.asarray(lost, np.float32)), self.conceal_bits,
                 self.h, self.voc_state,
             )
         else:

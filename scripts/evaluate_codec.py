@@ -132,9 +132,15 @@ def main(argv=None):
                 "stoi": float(stoi(x, y)),
                 "mcd_db": float(mcd(frontend, x, y)),
             }
-            if args.loss_rate is not None:
+            codes = None
+            if args.loss_rate is not None or ecoder is not None:
                 codes = np.asarray(codec.encode(x[None, :], bps))[0]
-                lrng = np.random.default_rng(args.loss_seed)
+            if args.loss_rate is not None:
+                # per-row seed: stimuli/bitrates get independent loss
+                # patterns (a single fixed pattern would bias the means)
+                lrng = np.random.default_rng(
+                    [args.loss_seed, hash(name) & 0x7FFFFFFF, int(bps)]
+                )
                 lost = (lrng.uniform(size=codes.shape[0])
                         < args.loss_rate).astype(np.float32)
                 y_plc = np.asarray(codec.decode(
@@ -146,7 +152,6 @@ def main(argv=None):
                 row["mel_l1_plc"] = float(mel_l1(frontend, xj, yp))
                 row["stoi_plc"] = float(stoi(x, y_plc))
             if ecoder is not None:
-                codes = np.asarray(codec.encode(x[None, :], bps))[0]
                 m = ecoder.measure(codes, int(round(codec.bits_per_frame(bps))))
                 # coded payload bits per second of audio
                 row["entropy_bps"] = 8.0 * m["coded_bytes"] / (x.shape[0] / conf.fs)

@@ -167,3 +167,57 @@ def test_streaming_plc_equals_offline(rng):
     stream = np.concatenate(outs, axis=1)
     assert stream.shape == (1, n * hop)
     np.testing.assert_allclose(stream, offline, atol=1e-5)
+
+
+def test_streaming_conceal_bitrate_masks_prior(rng):
+    """conceal_bitrate plumbs to the streaming decoder and DecodeEngine:
+    concealment masked to the stream's real allocation equals the offline
+    decode with the same conceal_bitrate, and differs from full-bits
+    concealment."""
+    from bvsc_tpu.serve.engine import DecodeEngine
+
+    codec = BVRNNCodecModel(config=small_conf(), seed=3, length_bucket=16)
+    L = 8192
+    x = (rng.standard_normal((1, L)) * 0.3).astype(np.float32)
+    codes = np.asarray(codec.encode(x, 2000))
+    n = codes.shape[1]
+    hop = codec.conf.hopsize
+    lost = np.zeros((1, n), np.float32)
+    lost[:, 3:5] = 1.0
+
+    off_masked = np.asarray(
+        codec.decode(codes, n * hop, lost=lost, conceal_bitrate=500)
+    )
+    off_full = np.asarray(codec.decode(codes, n * hop, lost=lost))
+    assert not np.array_equal(off_masked, off_full)
+
+    dec = StreamingDecoder(codec, batch=1, conceal_bitrate=500)
+    outs = [
+        dec.feed(codes[:, t : t + 1], lost=lost[:, t : t + 1])
+        for t in range(n)
+    ]
+    stream = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(stream, off_masked[:, : n * hop], atol=1e-4)
+
+    eng = DecodeEngine(codec, max_streams=2)
+    sid = eng.open_stream(conceal_bitrate=500)
+    eng.push(sid, codes[0], lost=lost[0])
+    eng_out = np.concatenate([eng.tick()[sid] for _ in range(n)])
+    np.testing.assert_allclose(eng_out, stream[0], atol=1e-5)
+
+
+def test_fused_call_accepts_vbr_schedule(rng):
+    """__call__ (fused path, the default) accepts per-frame schedules like
+    encode(), including non-bucket-multiple lengths, and matches the
+    two-program composition."""
+    codec = BVRNNCodecModel(config=small_conf(), seed=3, length_bucket=16)
+    L = 9000  # not a bucket multiple
+    x = (rng.standard_normal((1, L)) * 0.3).astype(np.float32)
+    n = codec.frontend.num_frames(L)
+    bps = np.where(np.arange(n) < n // 2, 1500.0, 5000.0).astype(np.float32)
+    fused = np.asarray(codec(x, bps))
+    two = np.asarray(codec.decode(codec.encode(x, bps), L))
+    assert fused.shape == two.shape == (1, L)
+    np.testing.assert_allclose(fused, two, atol=2e-6)
+    with pytest.raises(ValueError, match="per-frame bitrate shape"):
+        codec(x, bps[:-1])
