@@ -283,17 +283,29 @@ class DecodeEngine:
     numerically identical to a dedicated ``StreamingDecoder`` (tested).
     """
 
-    def __init__(self, codec: BVRNNCodecModel, max_streams: int = 128):
+    def __init__(self, codec: BVRNNCodecModel, max_streams: int = 128,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — shards the stream batch over
+        the mesh's data axis (multi-chip decode serving over ICI)."""
         self.codec = codec
         conf = codec.conf
         self.B = max_streams
         self.hop = conf.hopsize
         self.z_dim = conf.z_dim
         dtype = codec.bvrnn_cfg.dtype
-        self.state = {
-            "h": jnp.zeros((self.B, conf.h_dim), dtype),
-            "voc": generator_stream_init(conf.vocoder_config, self.B, dtype),
-        }
+        self._batch_sharding = None
+        if mesh is not None:
+            from bvsc_tpu.parallel.mesh import batch_sharded
+
+            if self.B % mesh.size:
+                raise ValueError("max_streams must divide evenly over the mesh")
+            self._batch_sharding = batch_sharded(mesh)
+        self.state = self._put(
+            {
+                "h": jnp.zeros((self.B, conf.h_dim), dtype),
+                "voc": generator_stream_init(conf.vocoder_config, self.B, dtype),
+            }
+        )
         self._free = list(range(max_streams))
         self._active = np.zeros(self.B, bool)
         # per-slot host queues of (codes (z,), lost flag) frames
@@ -304,6 +316,13 @@ class DecodeEngine:
         self.cbits = np.full(self.B, float(self.z_dim), np.float32)
         self._bcfg = codec.bvrnn_cfg
         self._vcfg = conf.vocoder_config
+
+    def _put(self, tree):
+        if self._batch_sharding is None:
+            return tree
+        return jax.tree.map(
+            lambda t: jax.device_put(t, self._batch_sharding), tree
+        )
 
     def open_stream(self, conceal_bitrate=None) -> int:
         """conceal_bitrate: bps masking this stream's PLC-concealed frames
@@ -318,7 +337,9 @@ class DecodeEngine:
             float(self.z_dim) if conceal_bitrate is None
             else self.codec.bits_per_frame(conceal_bitrate)
         )
-        self.state = jax.tree.map(lambda s: s.at[sid].set(0.0), self.state)
+        self.state = self._put(
+            jax.tree.map(lambda s: s.at[sid].set(0.0), self.state)
+        )
         return sid
 
     def close_stream(self, sid: int) -> None:
@@ -359,14 +380,19 @@ class DecodeEngine:
             lost[sid] = float(flag)
         active = np.zeros(self.B, bool)
         active[advanced] = True
+        dev = lambda t: (
+            jax.device_put(jnp.asarray(t), self._batch_sharding)
+            if self._batch_sharding is not None
+            else jnp.asarray(t)
+        )
         self.state, wav = _decode_tick(
             self.codec.bvrnn_params,
             self.codec.vocoder_params,
             self.state,
-            jnp.asarray(codes),
-            jnp.asarray(lost),
-            jnp.asarray(self.cbits),
-            jnp.asarray(active),
+            dev(codes),
+            dev(lost),
+            dev(self.cbits),
+            dev(active),
             bcfg=self._bcfg,
             vcfg=self._vcfg,
         )

@@ -277,3 +277,25 @@ def test_decode_engine_rejects_mismatched_lost(codec):
     z = codec.conf.z_dim
     with pytest.raises(ValueError, match="lost shape"):
         eng.push(sid, np.zeros((3, z), np.float32), lost=np.zeros(2))
+
+
+def test_decode_engine_sharded_over_mesh_matches_unsharded(codec, rng):
+    """Multi-chip decode serving: stream batch sharded over an 8-device
+    mesh gives the same audio as single-device (incl. a concealed frame)."""
+    from bvsc_tpu.parallel.mesh import make_mesh
+    from bvsc_tpu.serve.engine import DecodeEngine
+
+    n = 6
+    z = codec.conf.z_dim
+    codes = (rng.uniform(size=(n, z)) > 0.5).astype(np.float32)
+    lost = np.zeros(n, np.float32)
+    lost[2] = 1.0
+
+    def run(engine):
+        sid = engine.open_stream(conceal_bitrate=500)
+        engine.push(sid, codes, lost=lost)
+        return np.concatenate([engine.tick()[sid] for _ in range(n)])
+
+    plain = run(DecodeEngine(codec, max_streams=8))
+    mesh = run(DecodeEngine(codec, max_streams=8, mesh=make_mesh(8)))
+    np.testing.assert_allclose(mesh, plain, atol=1e-6)
