@@ -55,9 +55,31 @@ def parse_args(argv=None):
                         "probability with prior-based concealment "
                         "(metrics reported with a _plc suffix)")
     p.add_argument("--loss_seed", type=int, default=0)
+    p.add_argument("--loss_burst", type=float, default=None,
+                   help="mean burst length in frames: draw losses from a "
+                        "two-state Gilbert-Elliott channel at the same "
+                        "average --loss_rate instead of i.i.d. frames")
     p.add_argument("--limit", type=int, default=None, help="max stimuli")
     p.add_argument("--out_json", default=None)
     return p.parse_args(argv)
+
+
+def draw_losses(rng, n: int, rate: float, mean_burst=None) -> np.ndarray:
+    """(n,) 0/1 loss flags: i.i.d. at `rate`, or a two-state Gilbert-Elliott
+    chain with the given mean burst length at the same average rate
+    (bursty losses are the realistic packet-network case and stress PLC
+    state re-convergence much harder than isolated drops)."""
+    if not mean_burst or mean_burst <= 1.0:
+        return (rng.uniform(size=n) < rate).astype(np.float32)
+    # stationary loss prob = p_gb / (p_gb + p_bg); mean burst = 1 / p_bg
+    p_bg = 1.0 / mean_burst
+    p_gb = rate * p_bg / max(1.0 - rate, 1e-9)
+    lost = np.zeros(n, np.float32)
+    bad = rng.uniform() < rate
+    for t in range(n):
+        lost[t] = float(bad)
+        bad = rng.uniform() < (1.0 - p_bg if bad else p_gb)
+    return lost
 
 
 def find_wavs(root: str) -> list[str]:
@@ -141,8 +163,9 @@ def main(argv=None):
                 lrng = np.random.default_rng(
                     [args.loss_seed, hash(name) & 0x7FFFFFFF, int(bps)]
                 )
-                lost = (lrng.uniform(size=codes.shape[0])
-                        < args.loss_rate).astype(np.float32)
+                lost = draw_losses(
+                    lrng, codes.shape[0], args.loss_rate, args.loss_burst
+                )
                 y_plc = np.asarray(codec.decode(
                     codes[None], x.shape[0], lost=lost[None],
                     conceal_bitrate=bps,
