@@ -59,7 +59,12 @@ def _advance_impl(params, h, z_t):
 
 
 def _as_bits_per_frame(bits_per_frame, frames: int, z_dim: int) -> np.ndarray:
-    k = np.asarray(bits_per_frame, np.int64)
+    # ceil, NOT truncate: the model's bit-priority mask transmits every bit
+    # index strictly below the (possibly fractional) allocation
+    # (bvrnn.bit_mask_from_bitrate uses ``>``), so 34.8 bits/frame means 35
+    # transmitted bits — an int() cast would silently drop the top bit and
+    # desync the closed-loop hidden states
+    k = np.ceil(np.asarray(bits_per_frame, np.float64)).astype(np.int64)
     if k.ndim == 0:
         k = np.full(frames, int(k))
     if k.shape != (frames,):
@@ -78,12 +83,18 @@ class PriorEntropyCoder:
     def __init__(self, params, cfg: "bvrnn_mod.BVRNNConfig"):
         if "prior" not in params:
             raise ValueError("params has no 'prior' MLP — not BVRNN params")
-        leaf = jax.tree_util.tree_leaves(params["prior"])[0]
-        if not np.issubdtype(np.asarray(leaf).dtype, np.floating):
-            raise ValueError(
-                "entropy coding needs float BVRNN params (got quantised); "
-                "load the codec with quantize=None"
-            )
+        # inspect the WEIGHTS specifically: quantized layers store
+        # w = {'q': int8, 'scale': f32} (ops/quant.py) whose float 'scale'
+        # and the always-float bias would pass a first-leaf dtype check
+        for layer in params["prior"]:
+            w = layer["w"] if isinstance(layer, dict) else layer
+            if isinstance(w, dict) or not np.issubdtype(
+                np.asarray(w).dtype, np.floating
+            ):
+                raise ValueError(
+                    "entropy coding needs float BVRNN params (got quantised); "
+                    "load the codec with quantize=None"
+                )
         self.cfg = cfg
         cpu = jax.devices("cpu")[0]
         self._params = jax.device_put(
@@ -123,8 +134,8 @@ class PriorEntropyCoder:
         flat_bits, flat_probs = [], []
         for t in range(frames):
             k = int(ks[t])
-            probs = self._frame_probs(h)
-            if k:
+            if k:  # zero-bit (DTX) frames need no prior dispatch
+                probs = self._frame_probs(h)
                 flat_bits.append(hard[t, :k])
                 flat_probs.append(rans.quantize_probs(probs[:k]))
             h = self._frame_advance(h, self._fill_midpoint(hard[t], k, z_dim))
@@ -150,8 +161,8 @@ class PriorEntropyCoder:
         h = self._h0
         for t in range(frames):
             k = int(ks[t])
-            probs = self._frame_probs(h)
-            if k:
+            if k:  # zero-bit (DTX) frames need no prior dispatch
+                probs = self._frame_probs(h)
                 bits = dec.decode_bits(rans.quantize_probs(probs[:k]))
                 out[t, :k] = bits
             h = self._frame_advance(h, out[t])

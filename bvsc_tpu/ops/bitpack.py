@@ -72,7 +72,10 @@ def _load_native():
 
 
 def _as_bits(bits_per_frame, frames: int) -> np.ndarray:
-    bits = np.asarray(bits_per_frame, np.int32)
+    # ceil, NOT truncate: the model's bit mask transmits every bit index
+    # strictly below the (possibly fractional) allocation
+    # (bvrnn.bit_mask_from_bitrate uses ``>``): 34.8 bits -> 35 bits
+    bits = np.ceil(np.asarray(bits_per_frame, np.float64)).astype(np.int32)
     if bits.ndim == 0:
         bits = np.full(frames, int(bits), np.int32)
     if bits.shape != (frames,):
@@ -84,7 +87,7 @@ def _total_bits(bits_per_frame, frames: int, z_dim: int) -> int:
     """Total transmitted bits, WITHOUT materializing a per-frame array for
     scalar allocations (an untrusted multi-GB `frames` header must be
     rejectable without a proportional allocation)."""
-    bits = np.asarray(bits_per_frame, np.int32)
+    bits = np.ceil(np.asarray(bits_per_frame, np.float64)).astype(np.int64)
     if bits.ndim == 0:
         return max(0, min(int(bits), z_dim)) * frames
     if bits.shape != (frames,):

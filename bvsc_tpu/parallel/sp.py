@@ -46,7 +46,9 @@ SEQ_AXIS = "seq"
 
 
 def make_sp_mesh(n_devices: int | None = None, axis_name: str = SEQ_AXIS) -> Mesh:
-    devs = jax.devices()[: n_devices or len(jax.devices())]
+    from bvsc_tpu.parallel.tp import _take_devices
+
+    devs = _take_devices(n_devices or len(jax.devices()))
     return Mesh(np.asarray(devs), (axis_name,))
 
 
@@ -55,7 +57,9 @@ def make_dp_sp_mesh(n_data: int, n_seq: int,
                     seq_axis: str = SEQ_AXIS) -> Mesh:
     """2-D mesh sharding streams x time: batch over ``data``, frames over
     ``seq`` (the composed offline-synthesis layout)."""
-    devs = np.asarray(jax.devices()[: n_data * n_seq]).reshape(n_data, n_seq)
+    from bvsc_tpu.parallel.tp import _take_devices
+
+    devs = np.asarray(_take_devices(n_data * n_seq)).reshape(n_data, n_seq)
     return Mesh(devs, (data_axis, seq_axis))
 
 
@@ -163,8 +167,13 @@ def generator_apply_sp(
     divisible by the ``seq`` axis size -> waveform (B, 1, T * prod(rates)).
 
     Requires a fully causal, non-antialiased config (same condition as
-    streaming) and T/shards >= 6 frames (conv_pre's left context).
-    Weight-norm-folded inference params (``fold_generator_params``).
+    streaming) and enough frames per shard for every conv's left context —
+    config-dependent: conv_pre needs 6 at frame rate, and a stage-0
+    resblock conv with kernel k, dilation d needs (k-1)*d samples at that
+    stage's rate (the default config's k=11, d=5 stage-0 conv ⇒
+    T/shards >= 7).  A too-short shard raises the 'sequence shard too
+    short for halo' ValueError.  Weight-norm-folded inference params
+    (``fold_generator_params``).
     """
     if any(cfg.layers_sym) or cfg.pre_sym or cfg.post_sym:
         raise ValueError("sequence parallelism requires a fully causal config")

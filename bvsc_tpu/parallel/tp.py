@@ -36,8 +36,17 @@ from bvsc_tpu.models import bvrnn as bvrnn_mod
 MODEL_AXIS = "model"
 
 
+def _take_devices(n: int):
+    """First n devices, validated — jax.devices()[:n] would silently
+    truncate to a smaller mesh than requested."""
+    devs = jax.devices()
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, only {len(devs)} available")
+    return devs[:n]
+
+
 def make_tp_mesh(n_devices: int | None = None, axis_name: str = MODEL_AXIS) -> Mesh:
-    devs = jax.devices()[: n_devices or len(jax.devices())]
+    devs = _take_devices(n_devices or len(jax.devices()))
     return Mesh(devs, (axis_name,))
 
 
@@ -46,7 +55,7 @@ def make_dp_tp_mesh(n_data: int, n_model: int,
                     model_axis: str = MODEL_AXIS) -> Mesh:
     """2-D mesh: streams sharded over ``data`` x weights over ``model`` —
     the composed serving layout (batch throughput x per-stream latency)."""
-    devs = np.asarray(jax.devices()[: n_data * n_model]).reshape(n_data, n_model)
+    devs = np.asarray(_take_devices(n_data * n_model)).reshape(n_data, n_model)
     return Mesh(devs, (data_axis, model_axis))
 
 
@@ -254,7 +263,15 @@ def encode_tp(
         a = elu(_row(a, p["phi_x"][1], prec))
         a = elu(_col(a, p["phi_x"][2], prec))
         phi_x = jax.lax.all_gather(a, MODEL_AXIS, axis=-1, tiled=True)
-        mask = bvrnn_mod.bit_mask_from_bitrate(bits_full, cfg.z_dim).astype(cfg.dtype)
+        # match bvrnn.encode_with_state: a fixed-rate model (var_bit=False)
+        # ignores the bitrate argument and transmits all z_dim bits — a
+        # placeholder bits array must not 0.5-mask the codes
+        if cfg.var_bit:
+            mask = bvrnn_mod.bit_mask_from_bitrate(
+                bits_full, cfg.z_dim
+            ).astype(cfg.dtype)
+        else:
+            mask = jnp.ones(bits_full.shape + (cfg.z_dim,), cfg.dtype)
 
         def step(h_loc, xs):
             phi_x_t, mask_t = xs

@@ -67,7 +67,11 @@ def _fused_tick(
     re = jnp.matmul(frames, cos_b, precision=jax.lax.Precision.HIGHEST)
     im = jnp.matmul(frames, sin_b, precision=jax.lax.Precision.HIGHEST)
     mag = jnp.sqrt(re * re + im * im + 1e-9)  # (B, bins)
-    mel = dynamic_range_compression(mag @ frontend.mel_basis.T)  # (B, M)
+    mel = dynamic_range_compression(
+        jnp.matmul(mag, frontend.mel_basis.T,
+                   precision=jax.lax.Precision.HIGHEST)
+    )  # (B, M) — HIGHEST like the one-shot mel, else TPU bf16 passes can
+    # flip a near-0.5 code bit and break one-shot parity
 
     codes, mel_hat, h = bvrnn_mod.encode_decode(
         params, bcfg, mel[:, None, :], bits[:, None], state["h"]

@@ -293,7 +293,9 @@ class StreamingDecoder:
         lost: optional (batch, n) 0/1 mask of frames whose packets never
         arrived — their codes are ignored and concealed from the BVRNN's own
         prior (``models.bvrnn.decode_plc``)."""
-        codes = jnp.asarray(np.asarray(codes, np.float32))
+        # dtype-preserving: codes already on device (e.g. from conceal())
+        # must not round-trip through the ~30 MB/s host tunnel
+        codes = jnp.asarray(codes, jnp.float32)
         if codes.shape[1] == 0:
             return np.zeros((self.batch, 0), np.float32)
         if lost is not None:
@@ -344,7 +346,11 @@ def _fused_packet_step(
     re = jnp.matmul(frames, cos_b, precision=jax.lax.Precision.HIGHEST)
     im = jnp.matmul(frames, sin_b, precision=jax.lax.Precision.HIGHEST)
     mag = jnp.sqrt(re * re + im * im + 1e-9)
-    mel = dynamic_range_compression(mag @ frontend.mel_basis.T)  # (B, M)
+    mel = dynamic_range_compression(
+        jnp.matmul(mag, frontend.mel_basis.T,
+                   precision=jax.lax.Precision.HIGHEST)
+    )  # (B, M) — HIGHEST like the one-shot mel (ops/mel.py), else TPU bf16
+    # passes can flip a near-0.5 code bit and break one-shot parity
 
     codes, mel_hat, h = bvrnn_mod.encode_decode(
         params, bcfg, mel[:, None, :], bits[:, None], state["h"]

@@ -126,12 +126,49 @@ def test_prior_coder_constant_bitrate(small):
 
 
 def test_prior_coder_rejects_quantized_params(small):
+    """Must reject the REAL quantized structure (w = {'q': int8, 'scale':
+    f32}, float biases) — a first-leaf dtype check passes it silently
+    because tree_leaves order puts the float bias first."""
     cfg, params, _, _ = small
+    from bvsc_tpu.ops.quant import quantize_bvrnn_params
+
+    with pytest.raises(ValueError, match="float"):
+        PriorEntropyCoder(quantize_bvrnn_params(params), cfg)
+    # the crude all-leaves-int8 structure is rejected too
     qparams = jax.tree.map(
         lambda a: (np.asarray(a) * 64).astype(np.int8), params
     )
     with pytest.raises(ValueError, match="float"):
         PriorEntropyCoder(qparams, cfg)
+
+
+def test_fractional_bits_transmit_ceil(small):
+    """The model's bit mask transmits every index strictly below the
+    allocation, so fractional bits/frame must CEIL at the wire layers
+    (truncation would drop the top bit and desync the closed loop)."""
+    from bvsc_tpu.models import bvrnn as bvrnn_mod
+    from bvsc_tpu.ops.bitpack import pack_codes, payload_nbytes, unpack_codes
+
+    cfg, params, _, _ = small
+    rng = np.random.default_rng(3)
+    frames = 9
+    y = jnp.asarray(rng.standard_normal((1, frames, cfg.x_dim)), jnp.float32)
+    ks = np.full(frames, 4.5, np.float32)  # mask transmits 5 bits
+    z, _ = bvrnn_mod.encode(
+        params, cfg, y, jnp.asarray(ks)[None], jnp.zeros((1, cfg.h_dim))
+    )
+    z = np.asarray(z[0])
+    assert (z[:, 5:] == 0.5).all() and not (z[:, 4] == 0.5).all()
+
+    payload = pack_codes(z, ks)
+    assert len(payload) == payload_nbytes(ks, frames, cfg.z_dim) \
+        == (frames * 5 + 7) // 8
+    got = unpack_codes(payload, ks, frames, cfg.z_dim)
+    np.testing.assert_array_equal(got, _expected(z, np.full(frames, 5), cfg.z_dim))
+
+    ec = PriorEntropyCoder(params, cfg)
+    got2 = ec.decode(ec.encode(z, ks), ks, frames)
+    np.testing.assert_array_equal(got2, got)
 
 
 def test_bvsc_v2_container_roundtrip(tmp_path, small):
