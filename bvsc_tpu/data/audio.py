@@ -29,6 +29,9 @@ def load_wav(full_path: str, sr_target: int | None = None):
         data = data.astype(np.float32) / MAX_WAV_VALUE
     elif data.dtype == np.int32:
         data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        # 8-bit PCM is offset-binary: 128 is zero
+        data = (data.astype(np.float32) - 128.0) / 128.0
     else:
         data = data.astype(np.float32)
     return data, sampling_rate

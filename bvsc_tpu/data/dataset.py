@@ -160,8 +160,13 @@ class AudioSegmentDataset:
                     mel = np.pad(mel, ((0, 0), (0, max(0, frames_per_seg - mel.shape[1]))))[
                         :, :frames_per_seg
                     ]
-                    audio = np.pad(audio, (0, max(0, self.segment_size - audio.shape[0])))[
-                        : self.segment_size
+                    # pad to frames_per_seg * hop like the crop branch — a
+                    # segment_size that is not a hop multiple would
+                    # otherwise produce ragged batches (crop yields
+                    # ceil(seg/hop)*hop samples, pad yielded seg)
+                    target = frames_per_seg * self.hop_size
+                    audio = np.pad(audio, (0, max(0, target - audio.shape[0])))[
+                        :target
                     ]
             return audio, mel, filename
 
@@ -209,7 +214,9 @@ class AudioSegmentDataset:
             raise ValueError(
                 f"host {host_id}/{num_hosts} has an empty filelist shard"
             )
-        idx_of = {f: i for i, f in enumerate(self.audio_files)}
+        # files[j] == audio_files[host_id + j*num_hosts] by the stride
+        # slice above — arithmetic beats a path->index dict, which would
+        # also collapse deliberately duplicated (oversampled) entries
         epoch = 0
         while epochs is None or epoch < epochs:
             order = self._rng.permutation(len(files))
@@ -227,7 +234,7 @@ class AudioSegmentDataset:
                 chunk = order[i : i + batch_size]
                 if drop_last and len(chunk) < batch_size:
                     break
-                items = [self[idx_of[files[j]]] for j in chunk]
+                items = [self[host_id + int(j) * num_hosts] for j in chunk]
                 audio = np.stack([it[0] for it in items])
                 if self.fine_tuning:
                     mel = np.stack([it[1] for it in items])

@@ -65,6 +65,11 @@ def stoi(ref: np.ndarray, deg: np.ndarray, fs: int = 22050) -> float:
         g = np.gcd(FS, fs)
         x = scipy.signal.resample_poly(x, FS // g, fs // g)
         y = scipy.signal.resample_poly(y, FS // g, fs // g)
+    if len(x) < FRAME:
+        raise ValueError(
+            f"clip too short for STOI: {len(x)} samples at {FS} Hz "
+            f"(< one {FRAME}-sample frame)"
+        )
 
     win = np.hanning(FRAME + 2)[1:-1]
 

@@ -102,8 +102,16 @@ def per_stimulus_means(rows: list[dict]) -> dict[tuple[str, str], float]:
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    screen = "--screen" in argv
+    argv = [a for a in argv if a != "--screen"]
     path = argv[0] if argv else DEFAULT_CSV
     rows = load_ratings(path)
+    if screen:
+        # the paper's participant screening rule (README.md:5 of the
+        # dataset) — pass --screen when analysing the RAW ratings CSV (the
+        # default _filtered.csv ships pre-screened)
+        rows = filter_participants(rows)
+        print("(participant screening applied)")
     stats = condition_stats(rows)
     width = max(len(c) for c in stats)
     print(f"{'condition':<{width}}  {'mean':>6}  {'±95%CI':>6}  {'n':>5}")

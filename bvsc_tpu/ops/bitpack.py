@@ -48,11 +48,15 @@ def _load_native():
         so_path = os.path.join(_CACHE_DIR, f"libbvscbitpack-{digest}.so")
         if not os.path.exists(so_path):
             with tempfile.NamedTemporaryFile(suffix=".so", dir=_CACHE_DIR, delete=False) as tmp:
-                subprocess.run(
-                    ["cc", "-O3", "-shared", "-fPIC", "-o", tmp.name, _SRC],
-                    check=True, capture_output=True,
-                )
-                os.replace(tmp.name, so_path)
+                try:
+                    subprocess.run(
+                        ["cc", "-O3", "-shared", "-fPIC", "-o", tmp.name, _SRC],
+                        check=True, capture_output=True,
+                    )
+                    os.replace(tmp.name, so_path)
+                finally:
+                    if os.path.exists(tmp.name):  # cc failed: no stray tmp .so
+                        os.unlink(tmp.name)
         lib = ctypes.CDLL(so_path)
         lib.bvsc_pack.restype = ctypes.c_long
         lib.bvsc_pack.argtypes = [

@@ -53,11 +53,15 @@ def _load_native():
             with tempfile.NamedTemporaryFile(
                 suffix=".so", dir=_CACHE_DIR, delete=False
             ) as tmp:
-                subprocess.run(
-                    ["cc", "-O3", "-shared", "-fPIC", "-o", tmp.name, _SRC],
-                    check=True, capture_output=True,
-                )
-                os.replace(tmp.name, so_path)
+                try:
+                    subprocess.run(
+                        ["cc", "-O3", "-shared", "-fPIC", "-o", tmp.name, _SRC],
+                        check=True, capture_output=True,
+                    )
+                    os.replace(tmp.name, so_path)
+                finally:
+                    if os.path.exists(tmp.name):  # cc failed: no stray tmp .so
+                        os.unlink(tmp.name)
         lib = ctypes.CDLL(so_path)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         u16p = ctypes.POINTER(ctypes.c_uint16)

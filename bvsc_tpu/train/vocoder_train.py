@@ -522,22 +522,35 @@ class VocoderGANTrainer:
             cot = cot + self._mrd_spec_vjp(y_hat, c_mag, idx=i)
             adv_tot = adv_tot + adv
             fm_tot = fm_tot + fm
+        # frozen flag BEFORE the G update increments step — so the
+        # reported gen_loss_total matches the fused path's
+        # jnp.where(frozen, loss_mel, ...) semantics during the warmup
+        frozen_flag = (
+            self.state.step < self.tcfg.freeze_step
+        ).astype(jnp.float32)
+        d_grad_norm = optax.global_norm(d_grads)
         self.state, g_metrics = self._g_update(self.state, mel, y_mel, cot, length)
 
         # one host readback for every scalar of the step
         packed = np.asarray(jnp.stack([
             d_loss_f, d_loss_s, adv_tot, fm_tot,
             g_metrics["mel_spec_error"], g_metrics["grad_norm_g"],
+            frozen_flag, d_grad_norm,
         ]))
-        d_f, d_s, adv_v, fm_v, mel_err, gnorm = (float(x) for x in packed)
+        (d_f, d_s, adv_v, fm_v, mel_err, gnorm, frozen_v, dnorm) = (
+            float(x) for x in packed
+        )
         return {
             "mel_spec_error": mel_err,
             "grad_norm_g": gnorm,
+            "grad_norm_d": dnorm,
             "disc_loss_mpd": d_f,
             "disc_loss_mrd": d_s,
             "gen_adv_loss": adv_v,
             "fm_loss": fm_v,
-            "gen_loss_total": mel_err * self.tcfg.mel_loss_weight + adv_v + fm_v,
+            "gen_loss_total": mel_err * self.tcfg.mel_loss_weight + (
+                0.0 if frozen_v else adv_v + fm_v
+            ),
         }
 
     @property

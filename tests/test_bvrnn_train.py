@@ -1,0 +1,75 @@
+"""BVRNN VAE trainer coverage (the trainer the reference never published,
+re-created from its TOML keys — ``train/bvrnn_train.py``).
+
+The GAN trainer has step-parity and loss-decrease tests (test_gan.py); this
+gives the BVRNN trainer the same safety net: one-step mechanics, a short
+loss-decrease run, the scheduled-sampling ramp, and the per-frame bitrate
+draw (``p_bitratechange`` mid-sequence switches)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bvsc_tpu.config import CodecConfig
+from bvsc_tpu.train.bvrnn_train import (
+    BVRNNTrainer,
+    draw_bitrates,
+    p_use_gen_schedule,
+)
+
+
+def tiny_conf(**kw) -> CodecConfig:
+    return CodecConfig(
+        num_mels=8, h_dim=24, z_dim=6, batch_size=8,
+        learning_rate=1e-3, **kw,
+    )
+
+
+def test_trainer_step_and_loss_decrease():
+    conf = tiny_conf()
+    trainer = BVRNNTrainer(conf, seed=0)
+    rng = np.random.default_rng(0)
+    # a learnable low-rank signal (not pure noise) so the loss can fall
+    t = np.linspace(0, 1, 12)[None, :, None]
+    mel = (np.sin(2 * np.pi * 3 * t) * np.linspace(1, 2, 8)[None, None, :]
+           + 0.05 * rng.standard_normal((8, 12, 8))).astype(np.float32)
+
+    losses = []
+    for i in range(30):
+        m = trainer.step(jnp.asarray(mel), jax.random.key(1))
+        losses.append(float(m["loss"]))
+        for k in ("loss", "nll", "kld", "mse", "grad_norm", "log_sigma"):
+            assert np.isfinite(float(m[k])), (k, m)
+    assert int(trainer.state.step) == 30
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+    assert float(m["kld"]) >= 0.0
+
+
+def test_p_use_gen_ramp():
+    conf = tiny_conf(teacher_force_step_1perc=100)
+    assert float(p_use_gen_schedule(jnp.asarray(0), conf)) == 0.0
+    assert float(p_use_gen_schedule(jnp.asarray(50), conf)) == pytest.approx(0.5)
+    assert float(p_use_gen_schedule(jnp.asarray(100), conf)) == 1.0
+    assert float(p_use_gen_schedule(jnp.asarray(10_000), conf)) == 1.0  # clamped
+
+
+def test_draw_bitrates_properties():
+    conf = tiny_conf(p_bitratechange=1.0)
+    B, T = 64, 20
+    bits = np.asarray(draw_bitrates(jax.random.key(0), conf, B, T))
+    assert bits.shape == (B, T)
+    assert bits.min() >= 1 and bits.max() <= conf.z_dim
+    assert (bits == np.round(bits)).all()
+    # p_bitratechange=1: every row is one or two constant segments
+    n_switched = 0
+    for row in bits:
+        changes = np.flatnonzero(np.diff(row))
+        assert len(changes) <= 1, row
+        n_switched += len(changes)
+    assert n_switched > B // 4  # switches actually happen
+
+    # p_bitratechange=0: constant per sequence
+    conf0 = tiny_conf(p_bitratechange=0.0)
+    bits0 = np.asarray(draw_bitrates(jax.random.key(1), conf0, B, T))
+    assert (np.diff(bits0, axis=1) == 0).all()

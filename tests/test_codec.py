@@ -103,9 +103,10 @@ def test_full_chain_parity(small_codec_and_refs, rng):
     assert wav.shape == wav_ref.shape == (2, L)
     # tiny f32 mel-decode differences get amplified through the deep vocoder
     # conv stack; require high SNR rather than elementwise exactness
-    err = wav - wav_ref
-    snr_db = 10 * np.log10((wav_ref**2).mean() / max((err**2).mean(), 1e-20))
-    assert snr_db > 40.0, f"waveform SNR vs reference too low: {snr_db:.1f} dB"
+    from bvsc_tpu.eval.metrics import snr_db
+
+    snr = snr_db(wav_ref, wav)
+    assert snr > 40.0, f"waveform SNR vs reference too low: {snr:.1f} dB"
     np.testing.assert_allclose(wav, wav_ref, atol=5e-2)
 
 
