@@ -146,13 +146,25 @@ def main(argv=None):
         _, m = loss_fn(params, trainer.bcfg, mels, 1.0, bits, jax.random.key(0))
         return m
 
+    best_val = [np.inf]
+
     def validate(step):
         if val_mels is None:
             return
         m = val_metrics(trainer.state.params, val_mels)
         logger.scalars(m, step, prefix="validation/")
-        print(f"validation @ {step}: mse={float(m['mse']):.4f} "
+        mse = float(m["mse"])
+        print(f"validation @ {step}: mse={mse:.4f} "
               f"kld={float(m['kld']):.4f}")
+        # keep the best-validation checkpoint alongside the periodic ones
+        # (early stopping for tiny corpora where the final step overfits)
+        if mse < best_val[0]:
+            best_val[0] = mse
+            ckpt.save_step(
+                os.path.join(args.checkpoint_path, "best"), "bvrnn_", step,
+                trainer.state,
+            )
+            print(f"  new best validation ({mse:.4f}) -> best/bvrnn_{step:08d}")
 
     if conf.validate_only:
         validate(int(trainer.state.step))
