@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import io
 import os
 import sys
 import time
@@ -56,6 +57,10 @@ def parse_args(argv=None):
                    help="per-discriminator program decomposition (mathematically "
                         "identical; keeps TPU AOT compiles tractable). auto = on "
                         "for TPU backends")
+    p.add_argument("--platform", default="default",
+                   help="force a jax platform (e.g. 'cpu' for functional "
+                        "checks); env vars alone are too late when a device "
+                        "plugin registers at interpreter start")
     return p.parse_args(argv)
 
 
@@ -106,9 +111,17 @@ def main(argv=None):
     args = parse_args(argv)
     # stall diagnosis: `kill -USR1 <pid>` dumps all thread stacks to stderr
     import faulthandler, signal
-    faulthandler.register(signal.SIGUSR1)
+    try:
+        faulthandler.register(signal.SIGUSR1)
+    except (ValueError, OSError, io.UnsupportedOperation):
+        pass  # stderr has no real fd (redirected/captured context)
 
     import jax
+
+    if args.platform != "default":
+        # must precede the first backend init (see tests/conftest.py)
+        jax.config.update("jax_platforms", args.platform)
+        jax.config.update("jax_platform_name", args.platform)
     import jax.numpy as jnp
 
     # GAN-step compiles are minutes cold on the tunneled AOT stack

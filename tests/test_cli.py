@@ -1,0 +1,183 @@
+"""Smoke tests for the user-facing CLI scripts (scripts/*.py).
+
+The reference's CLI surface is its train/inference scripts (reference
+``third_party/BigVGAN/train.py:379-441``, ``inference.py:73-104``); ours are
+``scripts/train_bvrnn.py``, ``train_vocoder.py``, ``synthesize.py``,
+``evaluate_codec.py``, ``codec_cli.py``.  Each exposes ``main(argv)``, so the
+whole arg-parsing + wiring path is testable in-process on a tiny config —
+these tests guard the flag surface and end-to-end plumbing, not numerics
+(covered elsewhere).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+TINY_TOML = """\
+train_name = "tiny"
+fs = 8000
+winsize = 256
+hopsize = 64
+num_mels = 8
+fmin = 0
+fmax = 4000
+mel_pad_left = 64
+
+h_dim = 24
+z_dim = 6
+log_sigma_init = -1.0
+var_bit = true
+
+batch_size = 8
+learning_rate = 0.001
+lr_decay = 0.9999
+scheduler_max_steps = 100
+adam_b1 = 0.8
+adam_b2 = 0.99
+grad_clip = 100
+max_steps = 100
+val_interval = 2
+distinct_chkpt_interval = 100
+num_workers = 0
+train_seq_duration = 0.25
+teacher_force_step_1perc = 10
+p_bitratechange = 0.3
+validate_only = false
+resume = false
+vocoder_checkpoint = ""
+
+vocoder_config.resblock = "1"
+vocoder_config.num_mels = 8
+vocoder_config.upsample_rates = [4, 4, 2, 2]
+vocoder_config.upsample_kernel_sizes = [8, 8, 4, 4]
+vocoder_config.upsample_initial_channel = 16
+vocoder_config.resblock_kernel_sizes = [3]
+vocoder_config.resblock_dilation_sizes = [[1, 3]]
+vocoder_config.activation = "snakebeta"
+vocoder_config.snake_logscale = true
+vocoder_config.pre_sym = false
+vocoder_config.post_sym = false
+vocoder_config.layers_sym = [false, false, false, false]
+vocoder_config.layers_antialias = [false, false, false, false]
+vocoder_config.antialias_post = false
+vocoder_config.resolutions = [[64, 16, 32], [128, 32, 64], [32, 8, 16]]
+vocoder_config.mpd_reshapes = [2, 3]
+vocoder_config.use_spectral_norm = false
+vocoder_config.discriminator_channel_mult = 0.25
+"""
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    """Tiny config + wav corpus + filelists, shared by the CLI tests."""
+    from bvsc_tpu.data.audio import save_wav
+
+    root = tmp_path_factory.mktemp("cli")
+    (root / "wavs").mkdir()
+    rng = np.random.default_rng(0)
+    names = [f"utt_{i}" for i in range(3)]
+    t = np.arange(int(0.8 * 8000)) / 8000.0
+    for i, name in enumerate(names):
+        wav = 0.5 * np.sin(2 * np.pi * (150 + 60 * i) * t)
+        wav += 0.05 * rng.standard_normal(t.shape)
+        save_wav(wav.astype(np.float32), str(root / "wavs" / f"{name}.wav"), 8000)
+    (root / "train.txt").write_text("\n".join(names[:2]) + "\n")
+    (root / "val.txt").write_text(names[2] + "\n")
+    (root / "tiny.toml").write_text(TINY_TOML)
+    return root
+
+
+@pytest.mark.slow
+def test_train_bvrnn_cli(cli_env, tmp_path, capsys):
+    """2 steps of the BVRNN trainer CLI: resume scan, mel stats, sharded
+    steps, validation (val_interval=2 fires) + best-checkpoint keeping."""
+    import train_bvrnn
+
+    ckdir = tmp_path / "run"
+    train_bvrnn.main([
+        "--config", str(cli_env / "tiny.toml"),
+        "--input_wavs_dir", str(cli_env / "wavs"),
+        "--input_training_file", str(cli_env / "train.txt"),
+        "--input_validation_file", str(cli_env / "val.txt"),
+        "--checkpoint_path", str(ckdir),
+        "--max_steps", "2", "--batch_size", "8",
+        "--stdout_interval", "1", "--stats_batches", "1",
+        "--platform", "cpu",
+    ])
+    out = capsys.readouterr().out
+    assert "Steps : 2" in out
+    assert "validation @ 2" in out
+    assert os.path.isdir(ckdir / "best")
+
+
+@pytest.mark.slow
+def test_train_vocoder_cli(cli_env, tmp_path, capsys):
+    """1 GAN step through the vocoder trainer CLI (un-split program path)."""
+    import train_vocoder
+
+    ckdir = tmp_path / "voc"
+    train_vocoder.main([
+        "--config", str(cli_env / "tiny.toml"),
+        "--input_wavs_dir", str(cli_env / "wavs"),
+        "--input_training_file", str(cli_env / "train.txt"),
+        "--checkpoint_path", str(ckdir),
+        "--max_steps", "1", "--batch_size", "8",
+        "--segment_size", "512", "--stdout_interval", "1",
+        "--split_programs", "off", "--debug",
+        "--platform", "cpu",
+    ])
+    out = capsys.readouterr().out
+    assert "Steps : 1" in out
+
+
+def test_synthesize_cli(cli_env, tmp_path, capsys):
+    """wav -> mel -> vocoder synthesis CLI writes one output per input."""
+    import jax
+    import synthesize
+
+    from bvsc_tpu.config import CodecConfig
+    from bvsc_tpu.models import vocoder as voc_mod
+    from bvsc_tpu.train import checkpoint as ckpt
+
+    conf = CodecConfig.from_toml(str(cli_env / "tiny.toml"))
+    params = voc_mod.init_generator_params(
+        jax.random.key(0), conf.vocoder_config, weight_norm=True
+    )
+    gpath = tmp_path / "g_00000001"
+    ckpt.save_pytree(str(gpath), {"generator": params})
+
+    outdir = tmp_path / "synth_out"
+    synthesize.main([
+        "--input_wavs_dir", str(cli_env / "wavs"),
+        "--output_dir", str(outdir),
+        "--checkpoint_file", str(gpath),
+        "--config", str(cli_env / "tiny.toml"),
+        "--fs_out", "4000",
+    ])
+    outs = sorted(os.listdir(outdir))
+    assert outs == [f"utt_{i}_generated.wav" for i in range(3)]
+
+
+def test_evaluate_codec_cli(cli_env, tmp_path):
+    """Objective eval CLI on a flat wav dir with a random-init tiny codec,
+    including the JSON report."""
+    import json
+
+    import evaluate_codec
+
+    out_json = tmp_path / "eval.json"
+    evaluate_codec.main([
+        "--config", str(cli_env / "tiny.toml"),
+        "--stimuli_dir", str(cli_env / "wavs"),
+        "--bitrates", "200",
+        "--limit", "1",
+        "--out_json", str(out_json),
+    ])
+    report = json.loads(out_json.read_text())
+    (stims,) = [v for k, v in report.items() if k == "stimuli"] or [None]
+    assert report["summary"]["200.0"]["mel_l1"] > 0
