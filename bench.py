@@ -213,5 +213,28 @@ def main():
     }))
 
 
+def run_with_retry(fn, max_tries=4, delay_s=180.0):
+    """Run ``fn``; on a backend-init RuntimeError, sleep and re-exec.
+
+    The tunneled TPU backend occasionally reports UNAVAILABLE for a few
+    minutes (remote lease churn), and jax caches the failed backend init for
+    the process lifetime — so the retry must be a re-exec, not a loop.
+    Attempt count is carried across execs in ``BVSC_BENCH_RETRY``.
+    """
+    import os
+
+    try:
+        fn()
+    except RuntimeError as e:
+        tries = int(os.environ.get("BVSC_BENCH_RETRY", "0"))
+        if "Unable to initialize backend" not in str(e) or tries >= max_tries - 1:
+            raise
+        log(f"backend unavailable (attempt {tries + 1}/{max_tries}), "
+            f"retrying in {delay_s:.0f} s:", e)
+        time.sleep(delay_s)
+        os.environ["BVSC_BENCH_RETRY"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    main()
+    run_with_retry(main)
