@@ -16,12 +16,13 @@ from __future__ import annotations
 
 import argparse
 import json
-import io
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import _cli_common
 
 import numpy as np
 
@@ -57,10 +58,7 @@ def parse_args(argv=None):
                    help="per-discriminator program decomposition (mathematically "
                         "identical; keeps TPU AOT compiles tractable). auto = on "
                         "for TPU backends")
-    p.add_argument("--platform", default="default",
-                   help="force a jax platform (e.g. 'cpu' for functional "
-                        "checks); env vars alone are too late when a device "
-                        "plugin registers at interpreter start")
+    _cli_common.add_platform_arg(p)
     return p.parse_args(argv)
 
 
@@ -109,19 +107,9 @@ def load_configs(args):
 
 def main(argv=None):
     args = parse_args(argv)
-    # stall diagnosis: `kill -USR1 <pid>` dumps all thread stacks to stderr
-    import faulthandler, signal
-    try:
-        faulthandler.register(signal.SIGUSR1)
-    except (ValueError, OSError, io.UnsupportedOperation):
-        pass  # stderr has no real fd (redirected/captured context)
+    _cli_common.setup_runtime(args)
 
     import jax
-
-    if args.platform != "default":
-        # must precede the first backend init (see tests/conftest.py)
-        jax.config.update("jax_platforms", args.platform)
-        jax.config.update("jax_platform_name", args.platform)
     import jax.numpy as jnp
 
     # GAN-step compiles are minutes cold on the tunneled AOT stack

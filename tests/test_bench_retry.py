@@ -14,7 +14,9 @@ import bench
 
 def test_retry_reexecs_on_backend_unavailable(monkeypatch):
     calls = {"sleep": [], "execv": []}
-    monkeypatch.delenv("BVSC_BENCH_RETRY", raising=False)
+    # setenv (not delenv) so monkeypatch records an undo: run_with_retry
+    # writes the counter directly and must not leak it past this test
+    monkeypatch.setenv("BVSC_BENCH_RETRY", "0")
     monkeypatch.setattr(bench.time, "sleep", lambda s: calls["sleep"].append(s))
     # run_with_retry does ``import os`` locally — same module object
     monkeypatch.setattr(

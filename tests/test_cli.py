@@ -92,8 +92,19 @@ def cli_env(tmp_path_factory):
     return root
 
 
+@pytest.fixture()
+def test_cache_env(monkeypatch):
+    """Keep trainer mains on the test compilation cache: they call
+    jax.config.update(cache_dir) themselves, honoring this env var —
+    without it they'd flip the session-global config to the production
+    cache for every later test."""
+    monkeypatch.setenv(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_tests"
+    )
+
+
 @pytest.mark.slow
-def test_train_bvrnn_cli(cli_env, tmp_path, capsys):
+def test_train_bvrnn_cli(cli_env, tmp_path, capsys, test_cache_env):
     """2 steps of the BVRNN trainer CLI: resume scan, mel stats, sharded
     steps, validation (val_interval=2 fires) + best-checkpoint keeping."""
     import train_bvrnn
@@ -116,7 +127,7 @@ def test_train_bvrnn_cli(cli_env, tmp_path, capsys):
 
 
 @pytest.mark.slow
-def test_train_vocoder_cli(cli_env, tmp_path, capsys):
+def test_train_vocoder_cli(cli_env, tmp_path, capsys, test_cache_env):
     """1 GAN step through the vocoder trainer CLI (un-split program path)."""
     import train_vocoder
 
@@ -179,5 +190,4 @@ def test_evaluate_codec_cli(cli_env, tmp_path):
         "--out_json", str(out_json),
     ])
     report = json.loads(out_json.read_text())
-    (stims,) = [v for k, v in report.items() if k == "stimuli"] or [None]
     assert report["summary"]["200.0"]["mel_l1"] > 0
