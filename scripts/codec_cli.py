@@ -25,6 +25,9 @@ import struct
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _cli_common
 
 import numpy as np
 
@@ -135,7 +138,9 @@ def main(argv=None):
     p.add_argument("--config", default=None)
     p.add_argument("--bvrnn_checkpoint", default=None)
     p.add_argument("--vocoder_checkpoint", default=None)
+    _cli_common.add_platform_arg(p)
     args = p.parse_args(argv)
+    _cli_common.setup_runtime(args)
 
     from bvsc_tpu import BVRNNCodecModel
     from bvsc_tpu.data.audio import load_wav, save_wav

@@ -27,6 +27,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _cli_common
 
 import numpy as np
 
@@ -81,7 +84,9 @@ def main(argv=None):
                    metavar=("LO", "HI"),
                    help="draw one bitrate per utterance uniformly in [LO, HI]")
     p.add_argument("--seed", type=int, default=0)
+    _cli_common.add_platform_arg(p)
     args = p.parse_args(argv)
+    _cli_common.setup_runtime(args)
 
     from bvsc_tpu import BVRNNCodecModel
 

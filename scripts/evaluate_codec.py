@@ -31,6 +31,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _cli_common
 
 import numpy as np
 
@@ -61,6 +64,7 @@ def parse_args(argv=None):
                         "average --loss_rate instead of i.i.d. frames")
     p.add_argument("--limit", type=int, default=None, help="max stimuli")
     p.add_argument("--out_json", default=None)
+    _cli_common.add_platform_arg(p)
     return p.parse_args(argv)
 
 
@@ -102,6 +106,7 @@ def load_22k(path: str) -> np.ndarray:
 
 def main(argv=None):
     args = parse_args(argv)
+    _cli_common.setup_runtime(args)
     import jax
     import jax.numpy as jnp
 

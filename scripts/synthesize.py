@@ -16,6 +16,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _cli_common
 
 import numpy as np
 
@@ -30,6 +33,7 @@ def parse_args(argv=None):
     p.add_argument("--config", default="configs/varbitrate.toml")
     p.add_argument("--fs_out", type=int, default=None,
                    help="resample outputs to this rate before writing")
+    _cli_common.add_platform_arg(p)
     return p.parse_args(argv)
 
 
@@ -47,6 +51,7 @@ def _resample(wav, fs, fs_out):
 
 def main(argv=None):
     args = parse_args(argv)
+    _cli_common.setup_runtime(args)
     if (args.input_wavs_dir is None) == (args.input_mels_dir is None):
         raise SystemExit("give exactly one of --input_wavs_dir / --input_mels_dir")
 
