@@ -19,15 +19,18 @@ from __future__ import annotations
 
 import argparse
 import glob
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "scripts")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _cli_common
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/varbitrate.toml")
     p.add_argument("--bvrnn_checkpoint", required=True)
@@ -37,7 +40,9 @@ def main() -> None:
                    default=["/root/reference/mushra_results_dataset/audio/"
                             "stim_15/ref.wav"])
     p.add_argument("--bitrate", type=float, default=3000.0)
-    args = p.parse_args()
+    _cli_common.add_platform_arg(p)
+    args = p.parse_args(argv)
+    _cli_common.setup_runtime(args)
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")

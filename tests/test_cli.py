@@ -174,6 +174,47 @@ def test_synthesize_cli(cli_env, tmp_path, capsys):
     assert outs == [f"utt_{i}_generated.wav" for i in range(3)]
 
 
+def test_select_vocoder_ckpt_cli(cli_env, tmp_path, capsys):
+    """Checkpoint-selection CLI ranks candidate generators end-to-end."""
+    import jax
+    import numpy as np
+    import select_vocoder_ckpt
+    from export_bvrnn_npz import flatten
+
+    from bvsc_tpu.config import CodecConfig
+    from bvsc_tpu.models import bvrnn as bvrnn_mod
+    from bvsc_tpu.models import vocoder as voc_mod
+    from bvsc_tpu.train import checkpoint as ckpt
+
+    conf = CodecConfig.from_toml(str(cli_env / "tiny.toml"))
+    bparams = bvrnn_mod.init_bvrnn_params(
+        jax.random.key(0),
+        bvrnn_mod.BVRNNConfig(
+            x_dim=conf.num_mels, h_dim=conf.h_dim, z_dim=conf.z_dim
+        ),
+    )
+    npz = tmp_path / "bvrnn.npz"
+    np.savez(npz, **{k: v for k, v in flatten(bparams)})
+    cands = []
+    for i in range(2):
+        g = voc_mod.init_generator_params(
+            jax.random.key(10 + i), conf.vocoder_config, weight_norm=False
+        )
+        path = tmp_path / f"g_0000000{i}"
+        ckpt.save_pytree(str(path), {"generator": g})
+        cands.append(str(path))
+
+    select_vocoder_ckpt.main([
+        "--config", str(cli_env / "tiny.toml"),
+        "--bvrnn_checkpoint", str(npz),
+        "--candidates", *cands,
+        "--stimuli", str(cli_env / "wavs" / "utt_0.wav"),
+        "--bitrate", "200",
+    ])
+    out = capsys.readouterr().out
+    assert "g_00000000" in out and "g_00000001" in out
+
+
 def test_evaluate_codec_cli(cli_env, tmp_path):
     """Objective eval CLI on a flat wav dir with a random-init tiny codec,
     including the JSON report."""
