@@ -1,5 +1,11 @@
-"""Batched multi-stream serving runtime."""
+"""Batched multi-stream serving runtime + AOT serving bundles."""
 
 from bvsc_tpu.serve.engine import DecodeEngine, ServingEngine
+from bvsc_tpu.serve.export import ServingBundle, export_serving_bundle
 
-__all__ = ["DecodeEngine", "ServingEngine"]
+__all__ = [
+    "DecodeEngine",
+    "ServingEngine",
+    "ServingBundle",
+    "export_serving_bundle",
+]

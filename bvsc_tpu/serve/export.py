@@ -1,0 +1,390 @@
+"""AOT serving bundles: the codec's jitted programs serialized to portable
+StableHLO artifacts (``jax.export``).
+
+The reference's only deployment story is "load the torch checkpoints and run
+the Python model code" (``bvrnn_codec_model.py:38-42``).  The TPU-native
+equivalent of a deployable inference engine is an *exported program set*:
+each serving entry point is traced once, lowered to StableHLO for explicit
+target platforms (CPU **and** TPU from one artifact), and serialized together
+with the weights into a single ``.bvscx`` zip.  Serving hosts reload it with
+:class:`ServingBundle` — no model-definition code, converter, or config
+parsing runs at serve time, and the program is byte-identical to what was
+validated at export time.
+
+Bundle contents (``meta.json`` is the manifest):
+  * batched one-shot programs per length bucket — ``encode`` / ``decode`` /
+    ``forward`` (the fused mel -> BVRNN ``encode_decode`` scan -> vocoder
+    resynthesis program, see ``codec._forward_impl``),
+  * the real-time packet programs — ``packet_step`` (``streaming.
+    _fused_packet_step``: one dispatch per 11.6 ms packet) and
+    ``packet_init`` (its zero state),
+  * the parameter pytrees as flat-keyed npz (weights are NOT baked into the
+    programs as constants, so one artifact stays small and the same programs
+    could be re-issued with refreshed weights).
+
+Wire format note: programs embed the export-time *shapes* (batch, length
+buckets) — serving picks the smallest covering bucket, mirroring
+``BVRNNCodecModel``'s own jit bucketing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import os
+import zipfile
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bvsc_tpu.config import CodecConfig
+
+FORMAT = "bvsc-serve-1"
+
+
+# ---------------------------------------------------------------------------
+# pytree <-> flat npz (dtype-preserving; same key scheme as chkpts/*.npz)
+# ---------------------------------------------------------------------------
+
+
+def _flatten_tree(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten_tree(v, f"{prefix}{k}/")
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _flatten_tree(v, f"{prefix}{i}/")
+    else:
+        yield prefix[:-1], np.asarray(tree)
+
+
+def _unflatten_npz(z) -> Any:
+    """Inverse of :func:`_flatten_tree` (dtype-preserving — quantized int8
+    weights and their f32 scales coexist in one tree)."""
+    tree: dict = {}
+    for key in z.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(np.asarray(z[key]))
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [listify(node[k]) for k in sorted(node, key=int)]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(tree)
+
+
+def _tree_specs(tree):
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), tree
+    )
+
+
+# ---------------------------------------------------------------------------
+# export
+# ---------------------------------------------------------------------------
+
+
+def export_serving_bundle(
+    codec,
+    path: str,
+    *,
+    batch: int = 1,
+    lengths: tuple[int, ...] = (2 ** 16,),
+    packet: bool = True,
+    platforms: tuple[str, ...] = ("cpu", "tpu"),
+) -> dict:
+    """Export ``codec`` (a :class:`bvsc_tpu.codec.BVRNNCodecModel`) to a
+    ``.bvscx`` serving bundle at ``path``.  Returns the manifest dict.
+
+    ``lengths`` are requested sample counts; each is rounded up to the
+    codec's jit length bucket and becomes one exported program triple.
+    ``platforms`` lowers every program for each listed backend — export on
+    this CPU host, serve on TPU.
+    """
+    from bvsc_tpu.codec import _decode_impl, _encode_impl, _forward_impl
+
+    conf: CodecConfig = codec.conf
+    bcfg, vcfg, frontend = codec.bvrnn_cfg, codec.conf.vocoder_config, codec.frontend
+    pspec = _tree_specs(codec.bvrnn_params)
+    vspec = _tree_specs(codec.vocoder_params)
+    f32 = jnp.float32
+
+    def _export(fn, *specs):
+        exp = jax.export.export(jax.jit(fn), platforms=list(platforms))(*specs)
+        return exp.serialize()
+
+    blobs: dict[str, bytes] = {}
+    buckets = []
+    seen = set()
+    for length in sorted(int(x) for x in lengths):
+        Lp = codec._pad_length(length)
+        if Lp in seen:
+            continue
+        seen.add(Lp)
+        Tp = frontend.num_frames(Lp)
+        xs = jax.ShapeDtypeStruct((batch, Lp), f32)
+        bs = jax.ShapeDtypeStruct((batch, Tp), f32)
+        cs = jax.ShapeDtypeStruct((batch, Tp, conf.z_dim), f32)
+        ns = jax.ShapeDtypeStruct((), jnp.int32)
+
+        def enc_fn(p, x, bits):
+            return _encode_impl(p, x, bits, cfg=bcfg, frontend=frontend)
+
+        def dec_fn(p, vp, codes, Lp=Lp):
+            return _decode_impl(p, vp, codes, None, bcfg=bcfg, vcfg=vcfg,
+                                length=Lp, pallas_compute="f32")
+
+        def fwd_fn(p, vp, x, bits, n_frames, Lp=Lp):
+            return _forward_impl(p, vp, x, bits, n_frames, None, bcfg=bcfg,
+                                 vcfg=vcfg, frontend=frontend, length=Lp,
+                                 pallas_compute="f32")
+
+        names = {}
+        for name, fn, specs in (
+            ("encode", enc_fn, (pspec, xs, bs)),
+            ("decode", dec_fn, (pspec, vspec, cs)),
+            ("forward", fwd_fn, (pspec, vspec, xs, bs, ns)),
+        ):
+            blob_name = f"programs/{name}_{Lp}.shlo"
+            blobs[blob_name] = _export(fn, *specs)
+            names[name] = blob_name
+        buckets.append({"length": Lp, "frames": Tp, "programs": names})
+
+    packet_meta = None
+    if packet:
+        from bvsc_tpu.streaming import _fused_packet_step, generator_stream_init
+
+        state0 = {
+            "window": jnp.zeros((batch, conf.winsize), f32),
+            "h": jnp.zeros((batch, conf.h_dim), bcfg.dtype),
+            "voc": generator_stream_init(vcfg, batch, bcfg.dtype),
+        }
+
+        def step_fn(p, vp, state, chunk, bits):
+            return _fused_packet_step(p, vp, state, chunk, bits,
+                                      bcfg=bcfg, vcfg=vcfg, frontend=frontend)
+
+        blobs["programs/packet_step.shlo"] = _export(
+            step_fn, pspec, vspec, _tree_specs(state0),
+            jax.ShapeDtypeStruct((batch, conf.hopsize), f32),
+            jax.ShapeDtypeStruct((batch,), f32),
+        )
+        blobs["programs/packet_init.shlo"] = _export(lambda: state0)
+        packet_meta = {
+            "step": "programs/packet_step.shlo",
+            "init": "programs/packet_init.shlo",
+        }
+
+    manifest = {
+        "format": FORMAT,
+        "jax_version": jax.__version__,
+        "platforms": list(platforms),
+        "batch": batch,
+        "config": dataclasses.asdict(conf),
+        "buckets": buckets,
+        "packet": packet_meta,
+        "params": {"bvrnn": "params/bvrnn.npz", "vocoder": "params/vocoder.npz"},
+    }
+
+    def _npz_bytes(tree) -> bytes:
+        buf = io.BytesIO()
+        np.savez_compressed(buf, **dict(_flatten_tree(tree)))
+        return buf.getvalue()
+
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("meta.json", json.dumps(manifest, indent=1))
+        zf.writestr("params/bvrnn.npz", _npz_bytes(codec.bvrnn_params))
+        zf.writestr("params/vocoder.npz", _npz_bytes(codec.vocoder_params))
+        for name, blob in blobs.items():
+            zf.writestr(name, blob)
+    os.replace(tmp, path)
+    return manifest
+
+
+# ---------------------------------------------------------------------------
+# loading / serving
+# ---------------------------------------------------------------------------
+
+
+class ServingBundle:
+    """Reload and serve a ``.bvscx`` bundle.
+
+    Mirrors the live-model API at fixed export shapes:
+    ``forward(x, bitrate)``, ``encode(x, bitrate)``, ``decode(codes,
+    length)``, and :meth:`packet_codec` for the real-time path.  Programs
+    deserialize lazily (first use) and are cached.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        with zipfile.ZipFile(path) as zf:
+            self.meta = json.loads(zf.read("meta.json"))
+            if self.meta.get("format") != FORMAT:
+                raise ValueError(
+                    f"{path}: unknown bundle format {self.meta.get('format')!r}"
+                )
+            self.conf = CodecConfig.from_dict(self.meta["config"])
+            self.bvrnn_params = _unflatten_npz(
+                np.load(io.BytesIO(zf.read(self.meta["params"]["bvrnn"])))
+            )
+            self.vocoder_params = _unflatten_npz(
+                np.load(io.BytesIO(zf.read(self.meta["params"]["vocoder"])))
+            )
+        self.batch = int(self.meta["batch"])
+        self._programs: dict[str, Any] = {}
+
+    load = classmethod(lambda cls, path: cls(path))
+
+    # -- internals -----------------------------------------------------------
+
+    def _program(self, blob_name: str):
+        if blob_name not in self._programs:
+            with zipfile.ZipFile(self.path) as zf:
+                data = zf.read(blob_name)
+            self._programs[blob_name] = jax.export.deserialize(bytearray(data))
+        return self._programs[blob_name]
+
+    def _bucket(self, length: int) -> dict:
+        for b in self.meta["buckets"]:
+            if b["length"] >= length:
+                return b
+        raise ValueError(
+            f"no exported bucket covers {length} samples "
+            f"(max {self.meta['buckets'][-1]['length'] if self.meta['buckets'] else 0}); "
+            "re-export with a larger `lengths`"
+        )
+
+    def _frames(self, length: int) -> int:
+        c = self.conf
+        pad = c.winsize - c.hopsize  # pad_left + pad_right
+        return 1 + (length + pad - c.winsize) // c.hopsize
+
+    def _prep_wave(self, x):
+        x = np.asarray(x, np.float32)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[None]
+        if x.shape[0] != self.batch:
+            raise ValueError(
+                f"bundle exported for batch {self.batch}, got {x.shape[0]}"
+            )
+        return x, squeeze
+
+    def _bits(self, bitrate, n_frames: int, frames_p: int) -> np.ndarray:
+        """bps (scalar or per-frame schedule) -> (batch, frames_p) bits."""
+        bits = np.round(np.asarray(bitrate, np.float64)
+                        * self.conf.hopsize / self.conf.fs).astype(np.float32)
+        if bits.ndim == 0:
+            out = np.full((self.batch, frames_p), float(bits), np.float32)
+            out[:, n_frames:] = 0.0
+            return out
+        if bits.ndim == 1:
+            bits = np.broadcast_to(bits, (self.batch,) + bits.shape)
+        if bits.shape != (self.batch, n_frames):
+            raise ValueError(
+                f"per-frame bitrate shape {bits.shape} != ({self.batch}, {n_frames})"
+            )
+        return np.pad(bits, ((0, 0), (0, frames_p - n_frames)))
+
+    # -- public API ------------------------------------------------------------
+
+    def forward(self, x, bitrate):
+        """One-shot resynthesis via the exported fused program."""
+        x, squeeze = self._prep_wave(x)
+        L = x.shape[1]
+        b = self._bucket(L)
+        xp = np.pad(x, ((0, 0), (0, b["length"] - L)))
+        n = self._frames(L)
+        bits = self._bits(bitrate, n, b["frames"])
+        y = self._program(b["programs"]["forward"]).call(
+            self.bvrnn_params, self.vocoder_params, jnp.asarray(xp),
+            jnp.asarray(bits), jnp.asarray(n, jnp.int32),
+        )
+        y = y[:, :L]
+        return y[0] if squeeze else y
+
+    __call__ = forward
+
+    def encode(self, x, bitrate):
+        x, squeeze = self._prep_wave(x)
+        L = x.shape[1]
+        b = self._bucket(L)
+        xp = np.pad(x, ((0, 0), (0, b["length"] - L)))
+        n = self._frames(L)
+        bits = self._bits(bitrate, n, b["frames"])
+        codes = self._program(b["programs"]["encode"]).call(
+            self.bvrnn_params, jnp.asarray(xp), jnp.asarray(bits)
+        )[:, :n]
+        return codes[0] if squeeze else codes
+
+    def decode(self, codes, length: int):
+        codes = np.asarray(codes, np.float32)
+        squeeze = codes.ndim == 2
+        if squeeze:
+            codes = codes[None]
+        T = codes.shape[1]
+        b = self._bucket(max(T * self.conf.hopsize, length))
+        codes = np.pad(codes, ((0, 0), (0, b["frames"] - T), (0, 0)),
+                       constant_values=0.5)
+        y = self._program(b["programs"]["decode"]).call(
+            self.bvrnn_params, self.vocoder_params, jnp.asarray(codes)
+        )[:, :length]
+        return y[0] if squeeze else y
+
+    def packet_codec(self, bitrate: float = 3000.0) -> "ExportedPacketCodec":
+        if not self.meta.get("packet"):
+            raise ValueError("bundle was exported without packet programs")
+        return ExportedPacketCodec(self, bitrate)
+
+
+def _packet_codec_base():
+    from bvsc_tpu.streaming import FusedPacketCodec
+
+    return FusedPacketCodec
+
+
+class ExportedPacketCodec(_packet_codec_base()):
+    """Real-time packet codec running the bundle's exported step program.
+
+    Reuses :class:`bvsc_tpu.streaming.FusedPacketCodec`'s host-side sample
+    bookkeeping (first-frame reflect pre-roll, hop chunking, flush) — only
+    the one device program per packet is replaced by the deserialized
+    export, so stream == one-shot exactness carries over unchanged.
+    """
+
+    def __init__(self, bundle: ServingBundle, bitrate: float = 3000.0):
+        # no super().__init__: there is no live codec object; the exported
+        # program and the bundle's weights stand in for it
+        conf = bundle.conf
+        self._bundle = bundle
+        self._step_prog = bundle._program(bundle.meta["packet"]["step"])
+        self.hop = conf.hopsize
+        self.winsize = conf.winsize
+        self.pad_left = conf.mel_pad_left
+        self.pad_right = conf.winsize - conf.mel_pad_left - conf.hopsize
+        self.batch = bundle.batch
+        self.bits = jnp.full(
+            (self.batch,), conf.bits_per_frame(bitrate), jnp.float32
+        )
+        self.state = bundle._program(bundle.meta["packet"]["init"]).call()
+        self._prefix = np.zeros((self.batch, 0), np.float32)
+        self._tail = np.zeros((self.batch, 0), np.float32)
+        self._started = False
+        self._flushed = False
+
+    def _step(self, chunk_dev):
+        self.state, codes, wav = self._step_prog.call(
+            self._bundle.bvrnn_params, self._bundle.vocoder_params,
+            self.state, chunk_dev, self.bits,
+        )
+        return codes, wav

@@ -376,6 +376,7 @@ class FusedPacketCodec:
         self.codec = codec
         conf: CodecConfig = codec.conf
         self.hop = conf.hopsize
+        self.winsize = conf.winsize
         self.pad_left = conf.mel_pad_left
         self.pad_right = conf.winsize - conf.mel_pad_left - conf.hopsize
         self.batch = batch
@@ -410,7 +411,7 @@ class FusedPacketCodec:
         ]
         if not self._started:
             self._prefix = np.concatenate([self._prefix, samples], axis=1)
-            need = self.codec.conf.winsize - self.pad_left  # 768
+            need = self.winsize - self.pad_left  # 768
             if self._prefix.shape[1] < need:
                 return np.zeros((self.batch, 0), np.float32)
             x = self._prefix

@@ -232,3 +232,43 @@ def test_evaluate_codec_cli(cli_env, tmp_path):
     ])
     report = json.loads(out_json.read_text())
     assert report["summary"]["200.0"]["mel_l1"] > 0
+
+
+def test_export_serving_cli(cli_env, tmp_path, capsys):
+    """Serving-bundle exporter CLI: export a tiny codec, reload the bundle,
+    run one exported program."""
+    import jax
+    import numpy as np
+    import export_serving
+    from export_bvrnn_npz import flatten
+
+    from bvsc_tpu.config import CodecConfig
+    from bvsc_tpu.models import bvrnn as bvrnn_mod
+
+    conf = CodecConfig.from_toml(str(cli_env / "tiny.toml"))
+    bparams = bvrnn_mod.init_bvrnn_params(
+        jax.random.key(0),
+        bvrnn_mod.BVRNNConfig(
+            x_dim=conf.num_mels, h_dim=conf.h_dim, z_dim=conf.z_dim
+        ),
+    )
+    npz = tmp_path / "bvrnn.npz"
+    np.savez(npz, **{k: v for k, v in flatten(bparams)})
+
+    out = tmp_path / "tiny.bvscx"
+    export_serving.main([
+        "--config", str(cli_env / "tiny.toml"),
+        "--bvrnn", str(npz),
+        "--out", str(out),
+        "--seconds", "0.25",
+        "--platforms", "cpu",
+        "--no_packet",
+        "--platform", "cpu",
+    ])
+    assert "buckets" in capsys.readouterr().out
+
+    from bvsc_tpu.serve.export import ServingBundle
+
+    bundle = ServingBundle.load(str(out))
+    codes = bundle.encode(np.zeros((1, 1600), np.float32), 200)
+    assert codes.shape == (1, 1600 // conf.hopsize, conf.z_dim)

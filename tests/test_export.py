@@ -1,0 +1,110 @@
+"""AOT serving-bundle tests: exported StableHLO programs == live model.
+
+The bundle (``bvsc_tpu/serve/export.py``) is the deployment artifact the
+reference has no analogue of (its deployment story is "run the Python model
+code on the torch checkpoints", ``bvrnn_codec_model.py:38-42``).  These
+tests prove the round trip: export -> zip -> reload in a codec-code-free
+loader -> outputs match the live ``BVRNNCodecModel`` / ``FusedPacketCodec``.
+"""
+
+import numpy as np
+import pytest
+
+from bvsc_tpu.codec import BVRNNCodecModel
+from bvsc_tpu.serve.export import ServingBundle, export_serving_bundle
+from bvsc_tpu.streaming import FusedPacketCodec
+from test_codec import small_conf
+
+
+@pytest.fixture(scope="module")
+def codec():
+    return BVRNNCodecModel(config=small_conf(), seed=3, length_bucket=16)
+
+
+@pytest.fixture(scope="module")
+def bundle(codec, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bundle") / "demo.bvscx")
+    manifest = export_serving_bundle(
+        codec, path, batch=1, lengths=(4096,), packet=True,
+        platforms=("cpu", "tpu"),  # one artifact, both backends
+    )
+    assert manifest["buckets"][0]["length"] == 4096
+    return ServingBundle.load(path)
+
+
+@pytest.mark.slow
+def test_exported_encode_matches_live(codec, bundle, rng):
+    x = (rng.standard_normal((1, 3000)) * 0.3).astype(np.float32)
+    live = np.asarray(codec.encode(x, 3000))
+    got = np.asarray(bundle.encode(x, 3000))
+    np.testing.assert_array_equal(got, live)
+
+
+@pytest.mark.slow
+def test_exported_decode_matches_live(codec, bundle, rng):
+    x = (rng.standard_normal((1, 3000)) * 0.3).astype(np.float32)
+    codes = np.asarray(codec.encode(x, 3000))
+    live = np.asarray(codec.decode(codes, 3000))
+    got = np.asarray(bundle.decode(codes, 3000))
+    np.testing.assert_allclose(got, live, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_exported_forward_matches_live(codec, bundle, rng):
+    x = (rng.standard_normal((1, 3000)) * 0.3).astype(np.float32)
+    live = np.asarray(codec(x, 3000))
+    got = np.asarray(bundle.forward(x, 3000))
+    np.testing.assert_allclose(got, live, atol=1e-6)
+    # 1-D convenience form, like the live model
+    got1d = np.asarray(bundle(x[0], 3000))
+    np.testing.assert_allclose(got1d, live[0], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_exported_vbr_schedule(codec, bundle, rng):
+    """Per-frame bitrate schedules survive the export boundary."""
+    x = (rng.standard_normal((1, 2048)) * 0.3).astype(np.float32)
+    n = 2048 // codec.conf.hopsize
+    sched = np.where(np.arange(n) < n // 2, 1378.0, 5512.0).astype(np.float32)
+    live = np.asarray(codec.encode(x, sched))
+    got = np.asarray(bundle.encode(x, sched))
+    np.testing.assert_array_equal(got, live)
+
+
+@pytest.mark.slow
+def test_exported_packet_codec_matches_live(codec, bundle, rng):
+    """The exported packet step streams sample-for-sample with the live
+    FusedPacketCodec (hence, transitively, with the one-shot codec)."""
+    L = 256 * 12
+    x = (rng.standard_normal((1, L)) * 0.3).astype(np.float32)
+
+    live = FusedPacketCodec(codec, batch=1, bitrate=3000)
+    exp = bundle.packet_codec(bitrate=3000)
+    out_live, out_exp = [], []
+    for i in range(0, L, 777):
+        out_live.append(live.process(x[:, i : i + 777]))
+        out_exp.append(exp.process(x[:, i : i + 777]))
+    out_live.append(live.flush())
+    out_exp.append(exp.flush())
+    a = np.concatenate(out_exp, axis=1)
+    b = np.concatenate(out_live, axis=1)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_bundle_manifest_and_errors(codec, tmp_path, rng):
+    path = str(tmp_path / "tiny.bvscx")
+    export_serving_bundle(codec, path, batch=1, lengths=(2048,), packet=False,
+                          platforms=("cpu",))
+    b = ServingBundle.load(path)
+    assert b.meta["format"] == "bvsc-serve-1"
+    assert b.conf.z_dim == codec.conf.z_dim
+    # no bucket covers a longer input
+    with pytest.raises(ValueError, match="bucket"):
+        b.encode(np.zeros((1, 60000), np.float32), 3000)
+    # packet programs were not exported
+    with pytest.raises(ValueError, match="packet"):
+        b.packet_codec()
+    # wrong batch
+    with pytest.raises(ValueError, match="batch"):
+        b.encode(np.zeros((2, 1024), np.float32), 3000)
