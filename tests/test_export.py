@@ -108,3 +108,17 @@ def test_bundle_manifest_and_errors(codec, tmp_path, rng):
     # wrong batch
     with pytest.raises(ValueError, match="batch"):
         b.encode(np.zeros((2, 1024), np.float32), 3000)
+
+
+@pytest.mark.slow
+def test_exported_quantized_codec(tmp_path, rng):
+    """int8 weight-only codecs export/reload too (mixed-dtype param npz)."""
+    q = BVRNNCodecModel(config=small_conf(), seed=3, length_bucket=16,
+                        quantize="int8")
+    path = str(tmp_path / "q.bvscx")
+    export_serving_bundle(q, path, batch=1, lengths=(2048,), packet=False,
+                          platforms=("cpu",))
+    b = ServingBundle.load(path)
+    x = (rng.standard_normal((1, 2048)) * 0.3).astype(np.float32)
+    live = np.asarray(q.encode(x, 3000))
+    np.testing.assert_array_equal(np.asarray(b.encode(x, 3000)), live)
