@@ -97,7 +97,7 @@ def export_serving_bundle(
     codec,
     path: str,
     *,
-    batch: int = 1,
+    batch: int | None = 1,
     lengths: tuple[int, ...] = (2 ** 16,),
     packet: bool = True,
     platforms: tuple[str, ...] = ("cpu", "tpu"),
@@ -109,6 +109,11 @@ def export_serving_bundle(
     codec's jit length bucket and becomes one exported program triple.
     ``platforms`` lowers every program for each listed backend — export on
     this CPU host, serve on TPU.
+
+    ``batch=None`` exports the one-shot programs with a *symbolic* batch
+    dimension (jax.export shape polymorphism): one serialized program
+    serves any request batch size.  The packet programs keep a concrete
+    batch of 1 in that mode (live sessions are fixed device slots).
     """
     from bvsc_tpu.codec import _decode_impl, _encode_impl, _forward_impl
 
@@ -117,6 +122,11 @@ def export_serving_bundle(
     pspec = _tree_specs(codec.bvrnn_params)
     vspec = _tree_specs(codec.vocoder_params)
     f32 = jnp.float32
+    if batch is None:
+        (B,) = jax.export.symbolic_shape("b", scope=jax.export.SymbolicScope())
+        packet_batch = 1
+    else:
+        B = packet_batch = batch
 
     def _export(fn, *specs):
         exp = jax.export.export(jax.jit(fn), platforms=list(platforms))(*specs)
@@ -131,9 +141,9 @@ def export_serving_bundle(
             continue
         seen.add(Lp)
         Tp = frontend.num_frames(Lp)
-        xs = jax.ShapeDtypeStruct((batch, Lp), f32)
-        bs = jax.ShapeDtypeStruct((batch, Tp), f32)
-        cs = jax.ShapeDtypeStruct((batch, Tp, conf.z_dim), f32)
+        xs = jax.ShapeDtypeStruct((B, Lp), f32)
+        bs = jax.ShapeDtypeStruct((B, Tp), f32)
+        cs = jax.ShapeDtypeStruct((B, Tp, conf.z_dim), f32)
         ns = jax.ShapeDtypeStruct((), jnp.int32)
 
         def enc_fn(p, x, bits):
@@ -164,9 +174,9 @@ def export_serving_bundle(
         from bvsc_tpu.streaming import _fused_packet_step, generator_stream_init
 
         state0 = {
-            "window": jnp.zeros((batch, conf.winsize), f32),
-            "h": jnp.zeros((batch, conf.h_dim), bcfg.dtype),
-            "voc": generator_stream_init(vcfg, batch, bcfg.dtype),
+            "window": jnp.zeros((packet_batch, conf.winsize), f32),
+            "h": jnp.zeros((packet_batch, conf.h_dim), bcfg.dtype),
+            "voc": generator_stream_init(vcfg, packet_batch, bcfg.dtype),
         }
 
         def step_fn(p, vp, state, chunk, bits):
@@ -175,13 +185,14 @@ def export_serving_bundle(
 
         blobs["programs/packet_step.shlo"] = _export(
             step_fn, pspec, vspec, _tree_specs(state0),
-            jax.ShapeDtypeStruct((batch, conf.hopsize), f32),
-            jax.ShapeDtypeStruct((batch,), f32),
+            jax.ShapeDtypeStruct((packet_batch, conf.hopsize), f32),
+            jax.ShapeDtypeStruct((packet_batch,), f32),
         )
         blobs["programs/packet_init.shlo"] = _export(lambda: state0)
         packet_meta = {
             "step": "programs/packet_step.shlo",
             "init": "programs/packet_init.shlo",
+            "batch": packet_batch,
         }
 
     manifest = {
@@ -240,7 +251,8 @@ class ServingBundle:
             self.vocoder_params = _unflatten_npz(
                 np.load(io.BytesIO(zf.read(self.meta["params"]["vocoder"])))
             )
-        self.batch = int(self.meta["batch"])
+        b = self.meta["batch"]
+        self.batch = None if b is None else int(b)  # None == symbolic (any)
         self._programs: dict[str, Any] = {}
 
     load = classmethod(lambda cls, path: cls(path))
@@ -274,25 +286,26 @@ class ServingBundle:
         squeeze = x.ndim == 1
         if squeeze:
             x = x[None]
-        if x.shape[0] != self.batch:
+        if self.batch is not None and x.shape[0] != self.batch:
             raise ValueError(
                 f"bundle exported for batch {self.batch}, got {x.shape[0]}"
             )
         return x, squeeze
 
-    def _bits(self, bitrate, n_frames: int, frames_p: int) -> np.ndarray:
+    def _bits(self, bitrate, n_frames: int, frames_p: int,
+              batch: int) -> np.ndarray:
         """bps (scalar or per-frame schedule) -> (batch, frames_p) bits."""
         bits = np.round(np.asarray(bitrate, np.float64)
                         * self.conf.hopsize / self.conf.fs).astype(np.float32)
         if bits.ndim == 0:
-            out = np.full((self.batch, frames_p), float(bits), np.float32)
+            out = np.full((batch, frames_p), float(bits), np.float32)
             out[:, n_frames:] = 0.0
             return out
         if bits.ndim == 1:
-            bits = np.broadcast_to(bits, (self.batch,) + bits.shape)
-        if bits.shape != (self.batch, n_frames):
+            bits = np.broadcast_to(bits, (batch,) + bits.shape)
+        if bits.shape != (batch, n_frames):
             raise ValueError(
-                f"per-frame bitrate shape {bits.shape} != ({self.batch}, {n_frames})"
+                f"per-frame bitrate shape {bits.shape} != ({batch}, {n_frames})"
             )
         return np.pad(bits, ((0, 0), (0, frames_p - n_frames)))
 
@@ -305,7 +318,7 @@ class ServingBundle:
         b = self._bucket(L)
         xp = np.pad(x, ((0, 0), (0, b["length"] - L)))
         n = self._frames(L)
-        bits = self._bits(bitrate, n, b["frames"])
+        bits = self._bits(bitrate, n, b["frames"], x.shape[0])
         y = self._program(b["programs"]["forward"]).call(
             self.bvrnn_params, self.vocoder_params, jnp.asarray(xp),
             jnp.asarray(bits), jnp.asarray(n, jnp.int32),
@@ -321,7 +334,7 @@ class ServingBundle:
         b = self._bucket(L)
         xp = np.pad(x, ((0, 0), (0, b["length"] - L)))
         n = self._frames(L)
-        bits = self._bits(bitrate, n, b["frames"])
+        bits = self._bits(bitrate, n, b["frames"], x.shape[0])
         codes = self._program(b["programs"]["encode"]).call(
             self.bvrnn_params, jnp.asarray(xp), jnp.asarray(bits)
         )[:, :n]
@@ -372,7 +385,7 @@ class ExportedPacketCodec(_packet_codec_base()):
         self.winsize = conf.winsize
         self.pad_left = conf.mel_pad_left
         self.pad_right = conf.winsize - conf.mel_pad_left - conf.hopsize
-        self.batch = bundle.batch
+        self.batch = int(bundle.meta["packet"].get("batch") or bundle.batch)
         self.bits = jnp.full(
             (self.batch,), conf.bits_per_frame(bitrate), jnp.float32
         )

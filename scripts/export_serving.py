@@ -32,7 +32,9 @@ def main(argv=None) -> None:
     p.add_argument("--bvrnn", default=None, help="BVRNN checkpoint path")
     p.add_argument("--vocoder", default=None, help="vocoder checkpoint path")
     p.add_argument("--out", required=True, help="output .bvscx path")
-    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--batch", default="1",
+                   help="request batch size, or 'any' for a symbolic batch "
+                        "dimension (one program serves every batch size)")
     p.add_argument("--seconds", type=float, nargs="+", default=[4.0],
                    help="length buckets to export, in seconds of audio")
     p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
@@ -53,8 +55,9 @@ def main(argv=None) -> None:
         quantize=args.quantize,
     )
     lengths = tuple(int(s * codec.conf.fs) for s in args.seconds)
+    batch = None if args.batch == "any" else int(args.batch)
     manifest = export_serving_bundle(
-        codec, args.out, batch=args.batch, lengths=lengths,
+        codec, args.out, batch=batch, lengths=lengths,
         packet=not args.no_packet, platforms=tuple(args.platforms),
     )
     kb = os.path.getsize(args.out) / 1e3

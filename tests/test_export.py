@@ -122,3 +122,26 @@ def test_exported_quantized_codec(tmp_path, rng):
     x = (rng.standard_normal((1, 2048)) * 0.3).astype(np.float32)
     live = np.asarray(q.encode(x, 3000))
     np.testing.assert_array_equal(np.asarray(b.encode(x, 3000)), live)
+
+
+@pytest.mark.slow
+def test_symbolic_batch_export(codec, tmp_path, rng):
+    """batch=None exports shape-polymorphic programs: one artifact, any
+    request batch size, outputs equal the live model per batch."""
+    path = str(tmp_path / "poly.bvscx")
+    export_serving_bundle(codec, path, batch=None, lengths=(2048,),
+                          packet=True, platforms=("cpu",))
+    b = ServingBundle.load(path)
+    assert b.batch is None
+    for B in (1, 3):
+        x = (rng.standard_normal((B, 1800)) * 0.3).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(b.encode(x, 3000)), np.asarray(codec.encode(x, 3000))
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.forward(x, 3000)), np.asarray(codec(x, 3000)),
+            atol=1e-6,
+        )
+    # packet programs fall back to a concrete batch of 1
+    assert b.meta["packet"]["batch"] == 1
+    assert b.packet_codec(3000).batch == 1
