@@ -31,13 +31,31 @@ def save_pytree(path: str, tree) -> None:
 
 def restore_pytree(path: str, target=None):
     """Restore a pytree; ``target`` (a matching pytree of arrays/ShapeDtype
-    structs) enables sharding-aware restore when given."""
+    structs) enables sharding-aware restore when given.
+
+    Targetless restore is topology-portable: a checkpoint saved on one
+    device mesh (e.g. an 8-device data-parallel trainer) restores on any
+    other (e.g. a 1-device inference host) — Orbax's recorded shardings
+    are replaced by local ones from the checkpoint's own metadata when the
+    saved devices don't exist here."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if target is not None:
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
         return ckptr.restore(path, target)
-    return ckptr.restore(path)
+    try:
+        return ckptr.restore(path)
+    except ValueError as e:
+        if "device" not in str(e).lower():
+            raise
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        meta = ckptr.metadata(path)
+        meta = getattr(meta, "item_metadata", meta)
+        target = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+            meta,
+        )
+        return ckptr.restore(path, target)
 
 
 def checkpoint_name(prefix: str, step: int) -> str:

@@ -94,6 +94,43 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ckpt.scan_checkpoint(str(tmp_path), "do_") is None
 
 
+@pytest.mark.slow
+def test_checkpoint_restores_on_different_topology(tmp_path):
+    """A checkpoint saved on this 8-device harness must restore targetless
+    on a 1-device host (trainer mesh -> inference topology portability;
+    Orbax's recorded shardings reference devices that no longer exist)."""
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from bvsc_tpu.train import checkpoint as ckpt
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    tree = {"w": jax.device_put(jnp.arange(16.0).reshape(8, 2), sh)}
+    path = ckpt.save_step(str(tmp_path), "g_", 7, tree)
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = ""  # 1 device in the child
+    code = (
+        "import jax;"
+        "jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_platform_name','cpu');"
+        "import numpy as np;"
+        "from bvsc_tpu.train.checkpoint import restore_pytree;"
+        f"t = restore_pytree({path!r});"
+        "assert len(jax.devices()) == 1, jax.devices();"
+        "np.testing.assert_array_equal(np.asarray(t['w']),"
+        " np.arange(16.0).reshape(8, 2));"
+        "print('portable-restore-ok')"
+    )
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert "portable-restore-ok" in r.stdout, r.stderr[-2000:]
+
+
 def test_mushra_reproduces_published_means():
     """The stats tool must reproduce BASELINE.md's MUSHRA numbers."""
     rows = load_ratings()
