@@ -238,19 +238,28 @@ class ServingBundle:
 
     def __init__(self, path: str):
         self.path = path
-        with zipfile.ZipFile(path) as zf:
-            self.meta = json.loads(zf.read("meta.json"))
-            if self.meta.get("format") != FORMAT:
-                raise ValueError(
-                    f"{path}: unknown bundle format {self.meta.get('format')!r}"
+        # malformed input (not a zip, missing/garbled members) must raise a
+        # clean ValueError, never crash — same contract as the .bvsc reader
+        try:
+            with zipfile.ZipFile(path) as zf:
+                self.meta = json.loads(zf.read("meta.json"))
+                if self.meta.get("format") != FORMAT:
+                    raise ValueError(
+                        f"{path}: unknown bundle format "
+                        f"{self.meta.get('format')!r}"
+                    )
+                self.conf = CodecConfig.from_dict(self.meta["config"])
+                self.bvrnn_params = _unflatten_npz(
+                    np.load(io.BytesIO(zf.read(self.meta["params"]["bvrnn"])))
                 )
-            self.conf = CodecConfig.from_dict(self.meta["config"])
-            self.bvrnn_params = _unflatten_npz(
-                np.load(io.BytesIO(zf.read(self.meta["params"]["bvrnn"])))
-            )
-            self.vocoder_params = _unflatten_npz(
-                np.load(io.BytesIO(zf.read(self.meta["params"]["vocoder"])))
-            )
+                self.vocoder_params = _unflatten_npz(
+                    np.load(io.BytesIO(zf.read(self.meta["params"]["vocoder"])))
+                )
+        except (zipfile.BadZipFile, KeyError, json.JSONDecodeError, OSError,
+                TypeError) as e:
+            # (JSONDecodeError is a ValueError subclass; list it explicitly
+            # so garbled JSON gets the same clean wrapping)
+            raise ValueError(f"{path}: not a valid .bvscx bundle ({e})") from e
         b = self.meta["batch"]
         self.batch = None if b is None else int(b)  # None == symbolic (any)
         self._programs: dict[str, Any] = {}

@@ -145,3 +145,24 @@ def test_symbolic_batch_export(codec, tmp_path, rng):
     # packet programs fall back to a concrete batch of 1
     assert b.meta["packet"]["batch"] == 1
     assert b.packet_codec(3000).batch == 1
+
+
+def test_bundle_rejects_malformed_files(tmp_path):
+    """Garbage inputs raise a clean ValueError, never a crash (same
+    contract as the .bvsc reader fuzzing)."""
+    p = tmp_path / "junk.bvscx"
+    for payload in (b"", b"garbage not a zip", b"PK\x03\x04truncated"):
+        p.write_bytes(payload)
+        with pytest.raises(ValueError, match="bvscx|format"):
+            ServingBundle.load(str(p))
+    # a real zip missing meta.json
+    import zipfile
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("other.txt", "hi")
+    with pytest.raises(ValueError, match="bvscx"):
+        ServingBundle.load(str(p))
+    # meta.json is not JSON
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("meta.json", "{not json")
+    with pytest.raises(ValueError, match="bvscx"):
+        ServingBundle.load(str(p))
