@@ -158,11 +158,22 @@ def export_serving_bundle(
                                  vcfg=vcfg, frontend=frontend, length=Lp,
                                  pallas_compute="f32")
 
+        def voc_fn(vp, mel, Lp=Lp):
+            # standalone mel -> waveform (scripts/synthesize.py semantics:
+            # no codec -10 dB scaling; reference inference_e2e.py:53-62)
+            from bvsc_tpu.models import vocoder as voc_mod
+
+            return voc_mod.generator_apply(
+                vp, vcfg, mel, Lp, precision=bcfg.precision
+            )[:, 0, :]
+
+        ms = jax.ShapeDtypeStruct((B, conf.num_mels, Tp), f32)
         names = {}
         for name, fn, specs in (
             ("encode", enc_fn, (pspec, xs, bs)),
             ("decode", dec_fn, (pspec, vspec, cs)),
             ("forward", fwd_fn, (pspec, vspec, xs, bs, ns)),
+            ("vocode", voc_fn, (vspec, ms)),
         ):
             blob_name = f"programs/{name}_{Lp}.shlo"
             blobs[blob_name] = _export(fn, *specs)
@@ -360,6 +371,30 @@ class ServingBundle:
                        constant_values=0.5)
         y = self._program(b["programs"]["decode"]).call(
             self.bvrnn_params, self.vocoder_params, jnp.asarray(codes)
+        )[:, :length]
+        return y[0] if squeeze else y
+
+    def vocode(self, mel, length: int | None = None):
+        """Standalone mel -> waveform (``scripts/synthesize.py`` semantics,
+        the reference's ``inference_e2e.py`` capability — no codec −10 dB
+        scaling).  ``mel``: (batch, num_mels, frames) or (num_mels, frames);
+        ``length`` defaults to frames·hop."""
+        mel = np.asarray(mel, np.float32)
+        squeeze = mel.ndim == 2
+        if squeeze:
+            mel = mel[None]
+        T = mel.shape[2]
+        hop = self.conf.hopsize
+        if length is None:
+            length = T * hop
+        b = self._bucket(max(T * hop, length))
+        # pad future frames at the log-clamp silence floor (ops.mel
+        # dynamic_range_compression: log(clamp(., 1e-5))); the causal
+        # vocoder's first T·hop samples are unaffected by them
+        mel = np.pad(mel, ((0, 0), (0, 0), (0, b["frames"] - T)),
+                     constant_values=float(np.log(1e-5)))
+        y = self._program(b["programs"]["vocode"]).call(
+            self.vocoder_params, jnp.asarray(mel)
         )[:, :length]
         return y[0] if squeeze else y
 

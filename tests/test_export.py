@@ -166,3 +166,26 @@ def test_bundle_rejects_malformed_files(tmp_path):
         zf.writestr("meta.json", "{not json")
     with pytest.raises(ValueError, match="bvscx"):
         ServingBundle.load(str(p))
+
+
+@pytest.mark.slow
+def test_exported_vocode_matches_live(codec, tmp_path, rng):
+    """The standalone vocoder program (synthesize.py semantics) matches a
+    direct generator_apply on the same mel."""
+    import jax.numpy as jnp
+
+    from bvsc_tpu.models import vocoder as jvoc
+
+    path = str(tmp_path / "v.bvscx")
+    export_serving_bundle(codec, path, batch=1, lengths=(4096,),
+                          packet=False, platforms=("cpu",))
+    b = ServingBundle.load(path)
+    vcfg = codec.conf.vocoder_config
+    T = 9  # shorter than the bucket: right-padding must not leak back
+    mel = rng.standard_normal((1, vcfg.num_mels, T)).astype(np.float32)
+    live = np.asarray(jvoc.generator_apply(
+        codec.vocoder_params, vcfg, jnp.asarray(mel), T * vcfg.total_upsample,
+        precision=codec.bvrnn_cfg.precision))[:, 0, :]
+    got = np.asarray(b.vocode(mel))
+    assert got.shape == live.shape
+    np.testing.assert_allclose(got, live, atol=1e-6)
