@@ -49,6 +49,17 @@ def batch_sharded(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
-    """Place a host batch onto the mesh, sharded on the leading axis."""
+    """Place a host batch onto the mesh, sharded on the leading axis.
+
+    Single-process: a plain sharded ``device_put``.  Multi-process
+    (``jax.distributed``): each process passes its LOCAL rows (its
+    per-host dataset shard) and the global batch is assembled across
+    processes — the DistributedSampler+DDP input path, TPU-style."""
     sh = batch_sharded(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

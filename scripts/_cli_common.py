@@ -11,6 +11,19 @@ def add_platform_arg(parser) -> None:
              "interpreter start")
 
 
+def add_distributed_args(parser) -> None:
+    """Multi-host training flags — the reference DDP's ``init_process_group``
+    equivalent (reference ``third_party/BigVGAN/train.py:36-38,438-441``),
+    via ``jax.distributed``: launch one process per host, point them all at
+    process 0, and the device mesh spans every host (batch is sharded
+    per-host; gradient psum rides ICI/DCN)."""
+    parser.add_argument(
+        "--coordinator_address", default=None,
+        help="host:port of process 0; presence enables multi-host mode")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+
+
 def setup_runtime(args) -> None:
     """Faulthandler for stall diagnosis + optional jax platform forcing.
 
@@ -32,3 +45,26 @@ def setup_runtime(args) -> None:
 
         jax.config.update("jax_platforms", args.platform)
         jax.config.update("jax_platform_name", args.platform)
+
+    if getattr(args, "coordinator_address", None):
+        # after platform forcing, before the first backend init
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+
+def local_batch_size(global_batch: int) -> int:
+    """Per-process batch (reference divides the batch by the world size,
+    ``train.py:433``)."""
+    import jax
+
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"batch_size {global_batch} not divisible by {n} processes"
+        )
+    return global_batch // n

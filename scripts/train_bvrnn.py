@@ -47,6 +47,7 @@ def parse_args(argv=None):
                         "random gain (-10..0 dB) per crop — counters "
                         "overfitting on tiny corpora")
     _cli_common.add_platform_arg(p)
+    _cli_common.add_distributed_args(p)
     return p.parse_args(argv)
 
 
@@ -97,13 +98,22 @@ def main(argv=None):
     mel_fn = jax.jit(lambda y: jnp.swapaxes(frontend(y), 1, 2))
 
     # --- mel statistics over a few batches (frozen into params) -------------
-    batches = trainset.batches(batch_size)
+    # multi-host: each process iterates ITS dataset shard at the local batch
+    # size; stats are then synced so every process freezes identical params
+    local_bs = _cli_common.local_batch_size(batch_size)
+    batches = trainset.batches(
+        local_bs, host_id=jax.process_index(), num_hosts=jax.process_count()
+    )
     stats_mels = []
     for _ in range(args.stats_batches):
         audio, _ = next(batches)
         stats_mels.append(np.asarray(mel_fn(jnp.asarray(audio))))
     cat = np.concatenate(stats_mels).reshape(-1, conf.num_mels)
     mean_std = (cat.mean(0), cat.std(0) + 1e-5)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        mean_std = tuple(multihost_utils.broadcast_one_to_all(mean_std))
     print(f"mel stats from {len(stats_mels)} batches: "
           f"mean[0]={mean_std[0][0]:.3f} std[0]={mean_std[1][0]:.3f}")
 
@@ -119,7 +129,9 @@ def main(argv=None):
             trainer.state = restored
             print(f"resumed from step {start}")
 
-    logger = TrainLogger(os.path.join(args.checkpoint_path, "logs"))
+    # TensorBoard from process 0 only (reference rank gating, train.py:141-143)
+    logger = TrainLogger(os.path.join(args.checkpoint_path, "logs")
+                         if jax.process_index() == 0 else None)
 
     # --- validation: closed-loop greedy forward on held-out segments -------
     val_mels = None

@@ -59,6 +59,7 @@ def parse_args(argv=None):
                         "identical; keeps TPU AOT compiles tractable). auto = on "
                         "for TPU backends")
     _cli_common.add_platform_arg(p)
+    _cli_common.add_distributed_args(p)
     return p.parse_args(argv)
 
 
@@ -163,7 +164,9 @@ def main(argv=None):
             ]
         val_files = [f if f.endswith(".wav") else f + ".wav" for f in val_files]
 
-    logger = TrainLogger(os.path.join(args.checkpoint_path, "logs"))
+    # TensorBoard from process 0 only (reference rank gating, train.py:141-143)
+    logger = TrainLogger(os.path.join(args.checkpoint_path, "logs")
+                         if jax.process_index() == 0 else None)
 
     def validate(step):
         if not val_files:
@@ -209,7 +212,12 @@ def main(argv=None):
         audio_scale = SCALING if args.fine_tuning else 1.0
 
     steps = int(trainer.state.step)
-    batches = trainset.batches(tcfg.batch_size)
+    # multi-host: each process feeds its dataset shard at the local batch
+    # size; shard_batch assembles the global batch over all processes
+    batches = trainset.batches(
+        _cli_common.local_batch_size(tcfg.batch_size),
+        host_id=jax.process_index(), num_hosts=jax.process_count(),
+    )
     steps_per_epoch = max(1, len(trainset) // tcfg.batch_size)
     t0 = time.time()
     for audio, mel_ft in batches:
