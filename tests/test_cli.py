@@ -272,3 +272,34 @@ def test_export_serving_cli(cli_env, tmp_path, capsys):
     bundle = ServingBundle.load(str(out))
     codes = bundle.encode(np.zeros((1, 1600), np.float32), 200)
     assert codes.shape == (1, 1600 // conf.hopsize, conf.z_dim)
+
+
+def test_prepare_demo_data_cli(cli_env, tmp_path):
+    """Corpus-prep CLI: rebuild a training corpus + filelists from a
+    directory of stim_*/ref.wav sources (the docs/TRAINING.md data path)."""
+    import prepare_demo_data
+
+    from bvsc_tpu.data.audio import load_wav, save_wav
+
+    # stage a fake reference layout at a non-22050 rate to exercise resample
+    src = tmp_path / "audio"
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        d = src / f"stim_{i:02d}"
+        d.mkdir(parents=True)
+        save_wav(rng.uniform(-0.5, 0.5, 2400).astype(np.float32),
+                 str(d / "ref.wav"), 24000)
+
+    out = tmp_path / "corpus"
+    prepare_demo_data.main([
+        "--src", str(src), "--out", str(out), "--val", "stim_02",
+    ])
+    train = (out / "train.txt").read_text().split()
+    val = (out / "val.txt").read_text().split()
+    assert train == ["stim_00", "stim_01"] and val == ["stim_02"]
+    x, fs = load_wav(str(out / "wavs" / "stim_00.wav"))
+    assert fs == 22050 and x.shape[0] == 2205
+
+    with pytest.raises(SystemExit, match="not found"):
+        prepare_demo_data.main(
+            ["--src", str(src), "--out", str(out), "--val", "stim_99"])
