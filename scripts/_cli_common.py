@@ -57,6 +57,39 @@ def setup_runtime(args) -> None:
         )
 
 
+def build_env(config_path: str, checkpoint_path: str) -> None:
+    """Copy the config beside the checkpoints as ``config.<ext>`` so a run
+    directory is self-describing (reference ``env.py:14-18`` via
+    ``train.py:427``); the synthesis CLI can then find it automatically
+    (reference ``inference.py:83-89``)."""
+    import os
+    import shutil
+
+    ext = os.path.splitext(config_path)[1] or ".toml"
+    target = os.path.join(checkpoint_path, "config" + ext)
+    if os.path.abspath(config_path) != os.path.abspath(target):
+        os.makedirs(checkpoint_path, exist_ok=True)
+        shutil.copyfile(config_path, target)
+
+
+def find_config_near(checkpoint_file: str) -> str | None:
+    """A ``config.toml``/``config.json`` in the checkpoint's directory
+    (reference ``inference.py:83``: config.json next to the ckpt file).
+    Orbax checkpoints are directories, so also look one level up."""
+    import os
+
+    ckpt = os.path.abspath(checkpoint_file)
+    dirs = [os.path.dirname(ckpt)]
+    if os.path.isdir(ckpt):
+        dirs.insert(0, ckpt)
+    for d in dirs:
+        for name in ("config.toml", "config.json"):
+            cand = os.path.join(d, name)
+            if os.path.isfile(cand):
+                return cand
+    return None
+
+
 def local_batch_size(global_batch: int) -> int:
     """Per-process batch (reference divides the batch by the world size,
     ``train.py:433``)."""

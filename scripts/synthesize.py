@@ -30,7 +30,11 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", default="generated_files")
     p.add_argument("--checkpoint_file", required=True,
                    help="torch g_* file or Orbax directory")
-    p.add_argument("--config", default="configs/varbitrate.toml")
+    p.add_argument("--config", default=None,
+                   help="codec TOML or BigVGAN-style JSON; when omitted, a "
+                        "config.toml/config.json beside the checkpoint is "
+                        "used (reference inference.py:83), else "
+                        "configs/varbitrate.toml")
     p.add_argument("--fs_out", type=int, default=None,
                    help="resample outputs to this rate before writing")
     _cli_common.add_platform_arg(p)
@@ -63,33 +67,56 @@ def main(argv=None):
     from bvsc_tpu.models import vocoder as voc_mod
     from bvsc_tpu.ops.mel import MelFrontend
 
-    conf = CodecConfig.from_toml(args.config)
-    params = _load_vocoder_checkpoint(
-        args.checkpoint_file, conf.vocoder_config, jnp.float32
-    )
-    frontend = MelFrontend(
-        sampling_rate=conf.fs, n_fft=conf.winsize, num_mels=conf.num_mels,
-        hop_size=conf.hopsize, win_size=conf.winsize, fmin=conf.fmin,
-        fmax=conf.fmax, padding_left=conf.mel_pad_left,
-    )
+    config_path = args.config
+    if config_path is None:
+        config_path = (_cli_common.find_config_near(args.checkpoint_file)
+                       or "configs/varbitrate.toml")
+        print(f"using config {config_path}")
+    if config_path.endswith(".json"):
+        # standalone vocoder JSON (reference inference.py:83-89)
+        import json
+
+        with open(config_path) as f:
+            raw = json.load(f)
+        from bvsc_tpu.config import VocoderConfig
+
+        vcfg = VocoderConfig.from_dict(raw)
+        fs = raw.get("sampling_rate", 22050)
+        frontend = MelFrontend(
+            sampling_rate=fs, n_fft=raw.get("n_fft", 1024),
+            num_mels=raw.get("num_mels", 80),
+            hop_size=raw.get("hop_size", 256),
+            win_size=raw.get("win_size", 1024), fmin=raw.get("fmin", 0),
+            fmax=raw.get("fmax", 8000),
+            padding_left=raw.get("mel_pad_left", 256),
+        )
+    else:
+        conf = CodecConfig.from_toml(config_path)
+        vcfg, fs = conf.vocoder_config, conf.fs
+        frontend = MelFrontend(
+            sampling_rate=conf.fs, n_fft=conf.winsize, num_mels=conf.num_mels,
+            hop_size=conf.hopsize, win_size=conf.winsize, fmin=conf.fmin,
+            fmax=conf.fmax, padding_left=conf.mel_pad_left,
+        )
+    params = _load_vocoder_checkpoint(args.checkpoint_file, vcfg, jnp.float32)
     os.makedirs(args.output_dir, exist_ok=True)
 
     if args.input_wavs_dir:
         files = sorted(glob.glob(os.path.join(args.input_wavs_dir, "*.wav")))
         for f in files:
-            wav, _ = load_wav(f, conf.fs)
+            wav, _ = load_wav(f, fs)
             if wav.ndim > 1:
                 wav = wav[:, 0]
             wav = peak_normalize(wav) * 0.95
             mel = frontend(jnp.asarray(wav[None, :]) * SCALING)
             out = voc_mod.generator_apply(
-                params, conf.vocoder_config, mel, wav.shape[0]
+                params, vcfg, mel, wav.shape[0]
             )[0, 0, :] / SCALING
             dst = os.path.join(
                 args.output_dir,
                 os.path.splitext(os.path.basename(f))[0] + "_generated.wav",
             )
-            wav_out, fs_out = _resample(np.asarray(out), conf.fs, args.fs_out)
+            wav_out, fs_out = _resample(np.asarray(out), fs, args.fs_out)
             save_wav(wav_out, dst, fs_out)
             print(dst)
     else:
@@ -99,13 +126,13 @@ def main(argv=None):
             if mel.ndim == 2:
                 mel = mel[None]
             out = voc_mod.generator_apply(
-                params, conf.vocoder_config, jnp.asarray(mel), None
+                params, vcfg, jnp.asarray(mel), None
             )[0, 0, :]
             dst = os.path.join(
                 args.output_dir,
                 os.path.splitext(os.path.basename(f))[0] + "_generated_e2e.wav",
             )
-            wav_out, fs_out = _resample(np.asarray(out), conf.fs, args.fs_out)
+            wav_out, fs_out = _resample(np.asarray(out), fs, args.fs_out)
             save_wav(wav_out, dst, fs_out)
             print(dst)
 

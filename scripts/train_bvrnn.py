@@ -73,6 +73,8 @@ def main(argv=None):
     from bvsc_tpu.utils.logging import TrainLogger
 
     conf = CodecConfig.from_toml(args.config)
+    if jax.process_index() == 0:  # reference env.py:14-18 via train.py:427
+        _cli_common.build_env(args.config, args.checkpoint_path)
     batch_size = args.batch_size or conf.batch_size
     max_steps = args.max_steps or conf.max_steps
     segment = int(conf.train_seq_duration * conf.fs)

@@ -36,6 +36,13 @@ def parse_args(argv=None):
     p.add_argument("--input_validation_file", default=None)
     p.add_argument("--input_mels_dir", default=None,
                    help="precomputed .npy mels for --fine_tuning")
+    p.add_argument("--list_input_unseen_wavs_dir", nargs="+", default=[],
+                   help="wav dirs of extra (unseen-speaker) validation sets "
+                        "(reference train.py:391)")
+    p.add_argument("--list_input_unseen_validation_file", nargs="+", default=[],
+                   help="filelists of extra validation sets, validated with "
+                        "mode tag unseen_<name> (reference train.py:392,"
+                        "234-236)")
     p.add_argument("--training_epochs", type=int, default=100000)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--stdout_interval", type=int, default=5)
@@ -51,6 +58,16 @@ def parse_args(argv=None):
                         "scripts/dump_finetune_mels.py), else 1.0")
     p.add_argument("--debug", action="store_true", help="skip validation")
     p.add_argument("--evaluate", action="store_true", help="validate and exit")
+    p.add_argument("--eval_subsample", type=int, default=5,
+                   help="log audio/spectrogram figures for every nth "
+                        "validation item (reference train.py:412,197)")
+    p.add_argument("--skip_seen", action="store_true",
+                   help="skip the seen-speaker validation loop, keep unseen "
+                        "(reference train.py:414,231)")
+    p.add_argument("--save_audio", action="store_true",
+                   help="also write validation gt/generated wavs under "
+                        "<checkpoint_path>/samples/ (reference train.py:416,"
+                        "144-148,200-206)")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--segment_size", type=int, default=8192)
     p.add_argument("--seed", type=int, default=1234)
@@ -127,6 +144,8 @@ def main(argv=None):
     from bvsc_tpu.models import vocoder as voc_mod
 
     vcfg, tcfg = load_configs(args)
+    if jax.process_index() == 0:  # reference env.py:14-18 via train.py:427
+        _cli_common.build_env(args.config, args.checkpoint_path)
     mesh = make_mesh()
     split = (
         jax.default_backend() == "tpu"
@@ -155,26 +174,53 @@ def main(argv=None):
         fine_tuning=args.fine_tuning, base_mels_path=args.input_mels_dir,
         seed=args.seed,
     )
-    val_files = []
-    if args.input_validation_file:
-        with open(args.input_validation_file) as f:
-            val_files = [
-                os.path.join(args.input_wavs_dir, line.split("|")[0])
+    def read_filelist(filelist, wavs_dir):
+        with open(filelist) as f:
+            files = [
+                os.path.join(wavs_dir, line.split("|")[0])
                 for line in f.read().splitlines() if line
             ]
-        val_files = [f if f.endswith(".wav") else f + ".wav" for f in val_files]
+        return [f if f.endswith(".wav") else f + ".wav" for f in files]
+
+    def set_name(filelist):
+        return os.path.splitext(os.path.basename(filelist))[0]
+
+    val_files = []
+    if args.input_validation_file:
+        val_files = read_filelist(args.input_validation_file,
+                                  args.input_wavs_dir)
+    # extra validation sets, mode-tagged unseen_<name> (ref train.py:127-140)
+    if len(args.list_input_unseen_wavs_dir) != len(
+            args.list_input_unseen_validation_file):
+        raise SystemExit("--list_input_unseen_wavs_dir and "
+                         "--list_input_unseen_validation_file must pair up")
+    unseen_sets = [
+        (f"unseen_{set_name(fl)}", read_filelist(fl, wd))
+        for wd, fl in zip(args.list_input_unseen_wavs_dir,
+                          args.list_input_unseen_validation_file)
+    ]
 
     # TensorBoard from process 0 only (reference rank gating, train.py:141-143)
     logger = TrainLogger(os.path.join(args.checkpoint_path, "logs")
                          if jax.process_index() == 0 else None)
 
-    def validate(step):
-        if not val_files:
+    def validate(step, files, mode="seen"):
+        """One validation loop over `files`, metrics tagged validation_<mode>/
+        (reference train.py:150-227: per-mode scalars, every
+        --eval_subsample'th item's audio + spectrogram figures to
+        TensorBoard, optional --save_audio wavs, PESQ skipped for
+        "nonspeech" modes)."""
+        if not files:
             return
         valset = AudioSegmentDataset(
-            val_files, tcfg.segment_size, tcfg.sampling_rate, tcfg.hop_size,
+            files, tcfg.segment_size, tcfg.sampling_rate, tcfg.hop_size,
             split=False, shuffle=False, seed=args.seed,
         )
+        if args.save_audio:
+            os.makedirs(os.path.join(args.checkpoint_path, "samples",
+                                     f"gt_{mode}"), exist_ok=True)
+            os.makedirs(os.path.join(args.checkpoint_path, "samples",
+                                     f"{mode}_{step:08d}"), exist_ok=True)
         gen = trainer.state.gen
         errs, stfts, stois, pesqs = [], [], [], []
         for i in range(len(valset)):
@@ -187,22 +233,56 @@ def main(argv=None):
                 stois.append(stoi(audio, np.asarray(y_hat[0]), tcfg.sampling_rate))
             except ValueError:  # clip too short/silent for STOI's 30 frames
                 pass
-            p = pesq_wb_16k(audio, np.asarray(y_hat[0]), tcfg.sampling_rate)
-            if p is not None:
-                pesqs.append(p)
-        logger.scalar("validation/mel_spec_error", np.mean(errs), step)
-        logger.scalar("validation/mrstft", np.mean(stfts), step)
+            if "nonspeech" not in mode:  # ref train.py:186 PESQ guard
+                p = pesq_wb_16k(audio, np.asarray(y_hat[0]), tcfg.sampling_rate)
+                if p is not None:
+                    pesqs.append(p)
+            if i % args.eval_subsample == 0:  # ref train.py:197-217
+                y_np = np.asarray(y_hat[0])
+                logger.audio(f"gt_{mode}/y_{i}", audio, step, tcfg.sampling_rate)
+                logger.audio(f"generated_{mode}/y_hat_{i}", y_np, step,
+                             tcfg.sampling_rate)
+                mel_hat = trainer.input_frontend(y_hat)
+                logger.spectrogram_figure(f"gt_{mode}/y_spec_{i}",
+                                          np.asarray(mel[0]), step)
+                logger.spectrogram_figure(f"generated_{mode}/y_hat_spec_{i}",
+                                          np.asarray(mel_hat[0]), step)
+                t = min(mel.shape[-1], mel_hat.shape[-1])
+                delta = np.clip(np.abs(np.asarray(mel[0, :, :t])
+                                       - np.asarray(mel_hat[0, :, :t])),
+                                1e-6, 1.0)
+                logger.spectrogram_figure(f"delta_dclip1_{mode}/spec_{i}",
+                                          delta, step)
+                if args.save_audio:
+                    from bvsc_tpu.data.audio import save_wav
+
+                    save_wav(audio, os.path.join(
+                        args.checkpoint_path, "samples", f"gt_{mode}",
+                        f"{i:04d}.wav"), tcfg.sampling_rate)
+                    save_wav(y_np, os.path.join(
+                        args.checkpoint_path, "samples", f"{mode}_{step:08d}",
+                        f"{i:04d}.wav"), tcfg.sampling_rate)
+        logger.scalar(f"validation_{mode}/mel_spec_error", np.mean(errs), step)
+        logger.scalar(f"validation_{mode}/mrstft", np.mean(stfts), step)
         if stois:
-            logger.scalar("validation/stoi", np.mean(stois), step)
+            logger.scalar(f"validation_{mode}/stoi", np.mean(stois), step)
         if pesqs:
-            logger.scalar("validation/pesq", np.mean(pesqs), step)
-        print(f"validation @ {step}: mel_l1={np.mean(errs):.4f} "
+            logger.scalar(f"validation_{mode}/pesq", np.mean(pesqs), step)
+        print(f"validation @ {step} [{mode}]: mel_l1={np.mean(errs):.4f} "
               f"mrstft={np.mean(stfts):.4f}"
               + (f" stoi={np.mean(stois):.4f}" if stois else "")
               + (f" pesq={np.mean(pesqs):.3f}" if pesqs else " (pesq unavailable)"))
 
+    def validate_all(step):
+        if not args.skip_seen:  # ref train.py:231-233
+            validate(step, val_files,
+                     mode=f"seen_{set_name(args.input_validation_file)}"
+                     if args.input_validation_file else "seen")
+        for mode, files in unseen_sets:  # ref train.py:234-236
+            validate(step, files, mode=mode)
+
     if args.evaluate:
-        validate(int(trainer.state.step))
+        validate_all(int(trainer.state.step))
         return
 
     from bvsc_tpu.codec import SCALING
@@ -212,6 +292,9 @@ def main(argv=None):
         audio_scale = SCALING if args.fine_tuning else 1.0
 
     steps = int(trainer.state.step)
+    # resumed run starts with a validation pass (reference train.py:230-236)
+    if steps != 0 and not args.debug and jax.process_index() == 0:
+        validate_all(steps)
     # multi-host: each process feeds its dataset shard at the local batch
     # size; shard_batch assembles the global batch over all processes
     batches = trainset.batches(
@@ -246,7 +329,7 @@ def main(argv=None):
             ckpt.save_step(args.checkpoint_path, "do_", steps, trainer.state)
             print(f"saved checkpoints at step {steps}")
         if steps % args.validation_interval == 0 and not args.debug:
-            validate(steps)
+            validate_all(steps)
         if args.max_steps is not None and steps >= args.max_steps:
             break
     ckpt.save_step(args.checkpoint_path, "g_", steps,

@@ -173,6 +173,21 @@ def test_synthesize_cli(cli_env, tmp_path, capsys):
     outs = sorted(os.listdir(outdir))
     assert outs == [f"utt_{i}_generated.wav" for i in range(3)]
 
+    # --config omitted: a config.toml beside the checkpoint is discovered
+    # (reference inference.py:83 loads config.json next to the ckpt)
+    import shutil
+
+    shutil.copyfile(cli_env / "tiny.toml", tmp_path / "config.toml")
+    outdir2 = tmp_path / "synth_out2"
+    synthesize.main([
+        "--input_wavs_dir", str(cli_env / "wavs"),
+        "--output_dir", str(outdir2),
+        "--checkpoint_file", str(gpath),
+    ])
+    out = capsys.readouterr().out
+    assert f"using config {tmp_path / 'config.toml'}" in out
+    assert len(os.listdir(outdir2)) == 3
+
 
 def test_select_vocoder_ckpt_cli(cli_env, tmp_path, capsys):
     """Checkpoint-selection CLI ranks candidate generators end-to-end."""
@@ -303,3 +318,47 @@ def test_prepare_demo_data_cli(cli_env, tmp_path):
     with pytest.raises(SystemExit, match="not found"):
         prepare_demo_data.main(
             ["--src", str(src), "--out", str(out), "--val", "stim_99"])
+
+
+@pytest.mark.slow
+def test_train_vocoder_validation_modes(cli_env, tmp_path, capsys,
+                                        test_cache_env):
+    """--evaluate drives the full per-mode validation surface: seen +
+    unseen_<name> loops, --eval_subsample figure cadence, --save_audio
+    sample dumps (reference train.py:150-236,412-416)."""
+    import train_vocoder
+
+    ckdir = tmp_path / "voc_eval"
+    train_vocoder.main([
+        "--config", str(cli_env / "tiny.toml"),
+        "--input_wavs_dir", str(cli_env / "wavs"),
+        "--input_training_file", str(cli_env / "train.txt"),
+        "--input_validation_file", str(cli_env / "val.txt"),
+        "--list_input_unseen_wavs_dir", str(cli_env / "wavs"),
+        "--list_input_unseen_validation_file", str(cli_env / "train.txt"),
+        "--checkpoint_path", str(ckdir),
+        "--evaluate", "--eval_subsample", "1", "--save_audio",
+        "--split_programs", "off",
+        "--platform", "cpu",
+    ])
+    out = capsys.readouterr().out
+    assert "[seen_val]" in out and "[unseen_train]" in out
+    # gt + step-0 generated wavs for both modes, one per --eval_subsample item
+    assert sorted(os.listdir(ckdir / "samples" / "gt_seen_val")) == ["0000.wav"]
+    assert len(os.listdir(ckdir / "samples" / "unseen_train_00000000")) == 2
+
+    # --skip_seen drops the seen loop, keeps unseen (reference train.py:231)
+    train_vocoder.main([
+        "--config", str(cli_env / "tiny.toml"),
+        "--input_wavs_dir", str(cli_env / "wavs"),
+        "--input_training_file", str(cli_env / "train.txt"),
+        "--input_validation_file", str(cli_env / "val.txt"),
+        "--list_input_unseen_wavs_dir", str(cli_env / "wavs"),
+        "--list_input_unseen_validation_file", str(cli_env / "train.txt"),
+        "--checkpoint_path", str(ckdir),
+        "--evaluate", "--skip_seen",
+        "--split_programs", "off",
+        "--platform", "cpu",
+    ])
+    out = capsys.readouterr().out
+    assert "[seen_val]" not in out and "[unseen_train]" in out
