@@ -216,7 +216,8 @@ def main(argv=None):
             files, tcfg.segment_size, tcfg.sampling_rate, tcfg.hop_size,
             split=False, shuffle=False, seed=args.seed,
         )
-        if args.save_audio:
+        save_audio = args.save_audio and jax.process_index() == 0
+        if save_audio:
             os.makedirs(os.path.join(args.checkpoint_path, "samples",
                                      f"gt_{mode}"), exist_ok=True)
             os.makedirs(os.path.join(args.checkpoint_path, "samples",
@@ -253,7 +254,7 @@ def main(argv=None):
                                 1e-6, 1.0)
                 logger.spectrogram_figure(f"delta_dclip1_{mode}/spec_{i}",
                                           delta, step)
-                if args.save_audio:
+                if save_audio:
                     from bvsc_tpu.data.audio import save_wav
 
                     save_wav(audio, os.path.join(
@@ -293,7 +294,7 @@ def main(argv=None):
 
     steps = int(trainer.state.step)
     # resumed run starts with a validation pass (reference train.py:230-236)
-    if steps != 0 and not args.debug and jax.process_index() == 0:
+    if steps != 0 and not args.debug:
         validate_all(steps)
     # multi-host: each process feeds its dataset shard at the local batch
     # size; shard_batch assembles the global batch over all processes
@@ -329,6 +330,8 @@ def main(argv=None):
             ckpt.save_step(args.checkpoint_path, "do_", steps, trainer.state)
             print(f"saved checkpoints at step {steps}")
         if steps % args.validation_interval == 0 and not args.debug:
+            # all processes run the jitted compute (SPMD requirement);
+            # logging/saving inside are process-0 only
             validate_all(steps)
         if args.max_steps is not None and steps >= args.max_steps:
             break
