@@ -15,9 +15,10 @@ Bundle contents (``meta.json`` is the manifest):
   * batched one-shot programs per length bucket — ``encode`` / ``decode`` /
     ``forward`` (the fused mel -> BVRNN ``encode_decode`` scan -> vocoder
     resynthesis program, see ``codec._forward_impl``),
-  * the real-time packet programs — ``packet_step`` (``streaming.
-    _fused_packet_step``: one dispatch per 11.6 ms packet) and
-    ``packet_init`` (its zero state),
+  * the real-time packet programs — sender side ``packet_step``
+    (``streaming._fused_packet_step``: one dispatch per 11.6 ms packet) +
+    ``packet_init``, and receiver side ``packet_decode_step`` (streaming
+    decode with prior-based packet-loss concealment) + ``packet_decode_init``,
   * the parameter pytrees as flat-keyed npz (weights are NOT baked into the
     programs as constants, so one artifact stays small and the same programs
     could be re-issued with refreshed weights).
@@ -200,9 +201,45 @@ def export_serving_bundle(
             jax.ShapeDtypeStruct((packet_batch,), f32),
         )
         blobs["programs/packet_init.shlo"] = _export(lambda: state0)
+
+        # receiver-side streaming program: one code frame -> hop samples,
+        # with prior-based packet-loss concealment for frames flagged lost
+        # (lost == 0 runs the mathematically identical path to a plain
+        # decode — the PLC scan hoists phi_z of the received codes exactly
+        # like decode(), see models.bvrnn.decode_plc; the reloaded export
+        # may still compile to differently-reassociated kernels, so expect
+        # float-precision agreement with a live decoder, ~1e-5 at full
+        # scale).  A standalone receiver needs nothing but the bundle.
+        from bvsc_tpu.models import bvrnn as bvrnn_mod
+        from bvsc_tpu.streaming import generator_stream_step
+
+        dec_state0 = {
+            "h": jnp.zeros((packet_batch, conf.h_dim), bcfg.dtype),
+            "voc": generator_stream_init(vcfg, packet_batch, bcfg.dtype),
+        }
+
+        def decode_step_fn(p, vp, state, codes, lost, cbits):
+            from bvsc_tpu.codec import SCALING
+
+            cb = jnp.broadcast_to(cbits[:, None], codes.shape[:2])
+            mel, h = bvrnn_mod.decode_plc(p, bcfg, codes, lost, state["h"], cb)
+            voc_state, wav = generator_stream_step(
+                vp, vcfg, state["voc"], jnp.swapaxes(mel, 1, 2)
+            )
+            return ({"h": h, "voc": voc_state}, wav[:, 0, :] / SCALING)
+
+        blobs["programs/packet_decode_step.shlo"] = _export(
+            decode_step_fn, pspec, vspec, _tree_specs(dec_state0),
+            jax.ShapeDtypeStruct((packet_batch, 1, conf.z_dim), f32),
+            jax.ShapeDtypeStruct((packet_batch, 1), f32),
+            jax.ShapeDtypeStruct((packet_batch,), f32),
+        )
+        blobs["programs/packet_decode_init.shlo"] = _export(lambda: dec_state0)
         packet_meta = {
             "step": "programs/packet_step.shlo",
             "init": "programs/packet_init.shlo",
+            "decode_step": "programs/packet_decode_step.shlo",
+            "decode_init": "programs/packet_decode_init.shlo",
             "batch": packet_batch,
         }
 
@@ -403,6 +440,19 @@ class ServingBundle:
             raise ValueError("bundle was exported without packet programs")
         return ExportedPacketCodec(self, bitrate)
 
+    def packet_decoder(self, conceal_bitrate=None) -> "ExportedPacketDecoder":
+        """Receiver-side real-time decoder running the bundle's exported
+        ``packet_decode_step`` (codes in -> 256 samples out, prior-based PLC
+        for lost frames) — mirrors :class:`bvsc_tpu.streaming.
+        StreamingDecoder` with zero model code at serve time."""
+        pk = self.meta.get("packet") or {}
+        if "decode_step" not in pk:
+            raise ValueError(
+                "bundle has no receiver packet programs; re-export with a "
+                "current exporter (packet=True)"
+            )
+        return ExportedPacketDecoder(self, conceal_bitrate)
+
 
 def _packet_codec_base():
     from bvsc_tpu.streaming import FusedPacketCodec
@@ -445,3 +495,53 @@ class ExportedPacketCodec(_packet_codec_base()):
             self.state, chunk_dev, self.bits,
         )
         return codes, wav
+
+
+class ExportedPacketDecoder:
+    """Receiver: binary codes in -> waveform out via the exported program.
+
+    Same surface as :class:`bvsc_tpu.streaming.StreamingDecoder` —
+    ``feed(codes, lost=None)`` and ``conceal(n)`` — but every step is the
+    bundle's serialized ``packet_decode_step`` (decode_plc + streaming
+    vocoder, one call per 11.6 ms frame; lossless frames agree with a live
+    decoder to float precision — the reloaded program may compile to
+    differently-reassociated kernels)."""
+
+    def __init__(self, bundle: ServingBundle, conceal_bitrate=None):
+        conf = bundle.conf
+        self._bundle = bundle
+        self._step_prog = bundle._program(bundle.meta["packet"]["decode_step"])
+        self.batch = int(bundle.meta["packet"].get("batch") or bundle.batch)
+        self.hop = conf.hopsize
+        self.z_dim = conf.z_dim
+        cb = (float(conf.z_dim) if conceal_bitrate is None
+              else conf.bits_per_frame(conceal_bitrate))
+        self.conceal_bits = jnp.full((self.batch,), float(cb), jnp.float32)
+        self.state = bundle._program(
+            bundle.meta["packet"]["decode_init"]
+        ).call()
+
+    def feed(self, codes, lost=None) -> np.ndarray:
+        """codes: (batch, n, z_dim); lost: optional (batch, n) 0/1 flags.
+        Returns (batch, n*hop) samples."""
+        codes = np.asarray(codes, np.float32)
+        n = codes.shape[1]
+        if lost is None:
+            lost = np.zeros((self.batch, n), np.float32)
+        lost = np.asarray(lost, np.float32)
+        outs = []
+        for t in range(n):  # exported program is one frame per call
+            self.state, wav = self._step_prog.call(
+                self._bundle.bvrnn_params, self._bundle.vocoder_params,
+                self.state, jnp.asarray(codes[:, t : t + 1]),
+                jnp.asarray(lost[:, t : t + 1]), self.conceal_bits,
+            )
+            outs.append(np.asarray(wav))
+        if not outs:
+            return np.zeros((self.batch, 0), np.float32)
+        return np.concatenate(outs, axis=1)
+
+    def conceal(self, n_frames: int = 1) -> np.ndarray:
+        """Free-run ``n_frames`` lost packets from the prior (PLC)."""
+        codes = np.full((self.batch, n_frames, self.z_dim), 0.5, np.float32)
+        return self.feed(codes, lost=np.ones((self.batch, n_frames), np.float32))

@@ -189,3 +189,50 @@ def test_exported_vocode_matches_live(codec, tmp_path, rng):
     got = np.asarray(b.vocode(mel))
     assert got.shape == live.shape
     np.testing.assert_allclose(got, live, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_exported_packet_decoder_matches_live(codec, bundle, rng):
+    """Receiver-side exported program == live StreamingDecoder, including
+    PLC frames.  Float-precision tolerance throughout: the reloaded export
+    recompiles, so kernels may reassociate vs the live jit (measured ~1e-5
+    at full scale, bit-identical at this size)."""
+    from bvsc_tpu.streaming import StreamingDecoder
+
+    x = (rng.standard_normal((1, 2048)) * 0.3).astype(np.float32)
+    codes = np.asarray(codec.encode(x, 3000))
+    n = codes.shape[1]
+
+    live = StreamingDecoder(codec, batch=1)
+    dec = bundle.packet_decoder()
+    np.testing.assert_allclose(
+        np.asarray(dec.feed(codes)), np.asarray(live.feed(codes)), atol=1e-6
+    )
+
+    # a lost frame concealed from the prior, then re-convergence frames.
+    # Concealed output is a free-running function of h with no code forcing
+    # (models.bvrnn.decode_plc docstring), so two compilations of the same
+    # math (live jit vs reloaded export) agree only to float precision there.
+    live2 = StreamingDecoder(codec, batch=1)
+    dec2 = bundle.packet_decoder()
+    half = n // 2
+    np.testing.assert_allclose(dec2.feed(codes[:, :half]),
+                               live2.feed(codes[:, :half]), atol=1e-6)
+    np.testing.assert_allclose(dec2.conceal(1), live2.conceal(1), atol=1e-6)
+    np.testing.assert_allclose(dec2.feed(codes[:, half + 1 :]),
+                               live2.feed(codes[:, half + 1 :]), atol=1e-6)
+
+    # conceal_bitrate plumbs through to the exported program
+    dec3 = bundle.packet_decoder(conceal_bitrate=1378.0)
+    live3 = StreamingDecoder(codec, batch=1, conceal_bitrate=1378.0)
+    np.testing.assert_allclose(dec3.conceal(2), live3.conceal(2), atol=1e-6)
+
+
+def test_old_bundle_without_receiver_programs(codec, tmp_path, rng):
+    """Bundles exported with packet=False reject packet_decoder cleanly."""
+    path = str(tmp_path / "nopacket.bvscx")
+    export_serving_bundle(codec, path, batch=1, lengths=(1024,), packet=False,
+                          platforms=("cpu",))
+    b = ServingBundle.load(path)
+    with pytest.raises(ValueError, match="packet"):
+        b.packet_decoder()
