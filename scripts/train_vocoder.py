@@ -204,6 +204,15 @@ def main(argv=None):
     logger = TrainLogger(os.path.join(args.checkpoint_path, "logs")
                          if jax.process_index() == 0 else None)
 
+    # jitted validation forward (one program per distinct clip length,
+    # persistently cached) — the eager fallback dispatches every conv
+    # separately, which is pathological through a tunneled device
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def _val_fwd(gen, mel, length):
+        return voc_mod.generator_apply(gen, vcfg, mel, length)
+
     def validate(step, files, mode="seen"):
         """One validation loop over `files`, metrics tagged validation_<mode>/
         (reference train.py:150-227: per-mode scalars, every
@@ -227,7 +236,7 @@ def main(argv=None):
         for i in range(len(valset)):
             audio, _, _ = valset[i]
             mel = trainer.input_frontend(jnp.asarray(audio[None, :]))
-            y_hat = voc_mod.generator_apply(gen, vcfg, mel, audio.shape[0])[:, 0, :]
+            y_hat = _val_fwd(gen, mel, audio.shape[0])[:, 0, :]
             errs.append(mel_l1(trainer.loss_frontend, jnp.asarray(audio[None, :]), y_hat))
             stfts.append(mrstft(y_hat, audio[None, :]))
             try:
