@@ -161,6 +161,20 @@ def main(argv=None):
         _, m = loss_fn(params, trainer.bcfg, mels, 1.0, bits, jax.random.key(0))
         return m
 
+    @jax.jit
+    def val_decoded_mel(params, mels):
+        """Greedy closed-loop resynthesis of the first val segment, for the
+        TensorBoard gt/decoded/delta spectrogram figures (the vocoder
+        trainer logs the same triple; reference train.py:202-217)."""
+        from bvsc_tpu.models.bvrnn import forward_train
+
+        B, T, _ = mels.shape
+        bits = jnp.full((B, T), float(conf.z_dim))
+        mel_hat, _ = forward_train(
+            params, trainer.bcfg, mels, 1.0, True, bits, jax.random.key(0)
+        )
+        return mel_hat
+
     best_val = [np.inf]
 
     def validate(step):
@@ -168,6 +182,15 @@ def main(argv=None):
             return
         m = val_metrics(trainer.state.params, val_mels)
         logger.scalars(m, step, prefix="validation/")
+        if logger._sw is not None:  # figures only when TB is live
+            gt = np.asarray(val_mels[0]).T  # (M, T)
+            dec = np.asarray(val_decoded_mel(trainer.state.params,
+                                             val_mels[:1])[0]).T
+            logger.spectrogram_figure("validation/gt_mel", gt, step)
+            logger.spectrogram_figure("validation/decoded_mel", dec, step)
+            logger.spectrogram_figure(
+                "validation/delta_dclip1",
+                np.clip(np.abs(gt - dec), 1e-6, 1.0), step)
         mse = float(m["mse"])
         print(f"validation @ {step}: mse={mse:.4f} "
               f"kld={float(m['kld']):.4f}")
