@@ -1,0 +1,300 @@
+"""BVSP/1 TCP serving daemon — the network face of the batched engines.
+
+The reference has no serving layer (SURVEY §1 "no serving layer"); this
+daemon completes this framework's one: a TCP server that multiplexes many
+client connections onto the fixed-shape batched device state of
+:class:`bvsc_tpu.serve.engine.ServingEngine` (encode / full-resynthesis
+streams) and :class:`bvsc_tpu.serve.engine.DecodeEngine` (decode-only
+streams with packet-loss concealment).  One connection == one stream slot;
+all heavy compute stays batched on the MXU — a tick advances EVERY stream
+with a full frame queued in one fused XLA dispatch per engine, regardless
+of how many clients are connected.
+
+Wire protocol: `bvsc_tpu/serve/protocol.py` (framed little-endian binary;
+code payloads use the same native first-k bit packing as `.bvsc` files).
+Client: `bvsc_tpu/serve/client.py` (numpy + stdlib only, no jax).
+CLI: `scripts/serve_daemon.py`.
+
+Threading model: per-connection reader threads parse messages and enqueue
+input; ONE ticker thread owns all jax dispatch (engines are advanced and
+outputs routed under a single condition variable, so device state is never
+touched concurrently).  A client that half-closes after ``CLOSE`` still
+receives everything its queued input produces before the server closes the
+socket; a client that vanishes (EOF without ``CLOSE``) has its slot freed
+immediately.
+"""
+
+from __future__ import annotations
+
+import logging
+import socket
+import threading
+
+import numpy as np
+
+from bvsc_tpu.serve import protocol as P
+from bvsc_tpu.serve.engine import DecodeEngine, ServingEngine
+
+log = logging.getLogger("bvsc_tpu.serve.daemon")
+
+
+class _Conn:
+    """Per-connection state (owned by the daemon lock after HELLO)."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self.send_lock = threading.Lock()
+        self.mode: int | None = None
+        self.sid: int | None = None
+        self.closing = False  # CLOSE received: drain queued input, then FIN
+        self.dead = False  # slot freed / socket being torn down
+
+    def send(self, msg_type: int, payload: bytes = b"") -> bool:
+        try:
+            with self.send_lock:
+                P.write_msg(self.sock, msg_type, payload)
+            return True
+        except OSError:
+            return False
+
+
+class CodecDaemon:
+    """Serve a :class:`bvsc_tpu.codec.BVRNNCodecModel` over TCP (BVSP/1).
+
+    ``max_streams`` bounds the per-engine slot count (the fixed device batch
+    shape).  ``mesh`` optionally shards both engines' stream batches over a
+    device mesh (multi-chip serving).  Bind ``port=0`` for an ephemeral port
+    (read it back from ``.port`` after ``start()``).
+    """
+
+    def __init__(self, codec, host: str = "127.0.0.1", port: int = 0,
+                 max_streams: int = 128, mesh=None):
+        self.codec = codec
+        self._host, self._requested_port = host, port
+        self._cond = threading.Condition()
+        # both engines exist up front: construction is cheap (zeros); the
+        # jitted tick programs compile on first use per engine
+        self._eng = ServingEngine(codec, max_streams=max_streams, mesh=mesh)
+        self._dec = DecodeEngine(codec, max_streams=max_streams, mesh=mesh)
+        self._conns: set[_Conn] = set()
+        self._by_slot: dict[tuple[str, int], _Conn] = {}
+        self._listener: socket.socket | None = None
+        self._threads: list[threading.Thread] = []
+        self._shutdown = False
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def start(self) -> None:
+        self._listener = socket.create_server(
+            (self._host, self._requested_port), reuse_port=False
+        )
+        self._listener.settimeout(0.2)
+        self.port = self._listener.getsockname()[1]
+        for target, name in ((self._accept_loop, "bvsp-accept"),
+                             (self._tick_loop, "bvsp-tick")):
+            t = threading.Thread(target=target, name=name, daemon=True)
+            t.start()
+            self._threads.append(t)
+        log.info("BVSP daemon listening on %s:%d", self._host, self.port)
+
+    def close(self) -> None:
+        with self._cond:
+            self._shutdown = True
+            self._cond.notify_all()
+        if self._listener is not None:
+            self._listener.close()
+        for t in self._threads:
+            t.join(timeout=10)
+        with self._cond:
+            for conn in list(self._conns):
+                self._teardown(conn)
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- accept + reader threads ------------------------------------------------
+
+    def _accept_loop(self) -> None:
+        while not self._shutdown:
+            try:
+                sock, addr = self._listener.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return  # listener closed
+            sock.settimeout(None)
+            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            t = threading.Thread(
+                target=self._reader, args=(sock,),
+                name=f"bvsp-conn-{addr[1]}", daemon=True,
+            )
+            t.start()
+
+    def _reader(self, sock: socket.socket) -> None:
+        conn = _Conn(sock)
+        try:
+            self._handshake(conn)
+            with self._cond:
+                self._conns.add(conn)
+            while True:
+                msg = P.read_msg(sock)
+                if msg is None:  # EOF
+                    with self._cond:
+                        if not conn.closing:
+                            # vanished without CLOSE: free the slot now
+                            self._teardown(conn)
+                    return
+                msg_type, payload = msg
+                if msg_type == P.MSG_CLOSE:
+                    with self._cond:
+                        conn.closing = True
+                        self._cond.notify_all()
+                    # keep the socket open for the drain; stop reading
+                    return
+                self._dispatch(conn, msg_type, payload)
+        except P.ProtocolError as e:
+            conn.send(P.MSG_ERROR, str(e).encode())
+            with self._cond:
+                self._teardown(conn)
+        except OSError:
+            with self._cond:
+                self._teardown(conn)
+
+    def _handshake(self, conn: _Conn) -> None:
+        msg = P.read_msg(conn.sock)
+        if msg is None or msg[0] != P.MSG_HELLO:
+            raise P.ProtocolError("expected HELLO")
+        mode, bitrate = P.unpack_hello(msg[1])
+        conn.mode = mode
+        with self._cond:
+            if self._shutdown:
+                raise P.ProtocolError("server shutting down")
+            try:
+                if mode == P.MODE_DECODE:
+                    conn.sid = self._dec.open_stream(conceal_bitrate=bitrate)
+                    self._by_slot[("d", conn.sid)] = conn
+                else:
+                    if bitrate is None:
+                        raise P.ProtocolError("encode/resynth HELLO needs a bitrate")
+                    conn.sid = self._eng.open_stream(bitrate)
+                    self._by_slot[("e", conn.sid)] = conn
+            except RuntimeError as e:  # no free slots
+                raise P.ProtocolError(str(e)) from e
+        conf = self.codec.conf
+        conn.send(P.MSG_OPENED, P.pack_opened(conn.sid, conf.z_dim, conf.hopsize))
+
+    def _dispatch(self, conn: _Conn, msg_type: int, payload: bytes) -> None:
+        if conn.mode == P.MODE_DECODE:
+            if msg_type == P.MSG_CODES:
+                codes, _bits = P.unpack_codes_msg(payload, self.codec.conf.z_dim)
+                with self._cond:
+                    if conn.dead:
+                        return
+                    self._dec.push(conn.sid, codes)
+                    self._cond.notify_all()
+            elif msg_type == P.MSG_LOST:
+                n = P.unpack_u16(payload)
+                with self._cond:
+                    if conn.dead:
+                        return
+                    self._dec.push_lost(conn.sid, n)
+                    self._cond.notify_all()
+            else:
+                raise P.ProtocolError(
+                    f"message 0x{msg_type:02x} not valid in decode mode"
+                )
+        else:
+            if msg_type == P.MSG_AUDIO:
+                samples = P.unpack_audio(payload)
+                with self._cond:
+                    if conn.dead:
+                        return
+                    self._eng.push(conn.sid, samples)
+                    self._cond.notify_all()
+            elif msg_type == P.MSG_SET_BITRATE:
+                bps = P.unpack_f32(payload)
+                with self._cond:
+                    if conn.dead:
+                        return
+                    self._eng.set_bitrate(conn.sid, bps)
+            else:
+                raise P.ProtocolError(
+                    f"message 0x{msg_type:02x} not valid in encode/resynth mode"
+                )
+
+    # -- ticker ------------------------------------------------------------------
+
+    def _has_work(self) -> bool:
+        for (kind, sid), conn in self._by_slot.items():
+            if conn.dead:
+                continue
+            eng = self._dec if kind == "d" else self._eng
+            if eng.has_frame(sid):
+                return True
+        return False
+
+    def _tick_loop(self) -> None:
+        while True:
+            with self._cond:
+                while not self._shutdown and not self._has_work():
+                    self._finish_drained()
+                    self._cond.wait(timeout=0.2)
+                if self._shutdown:
+                    return
+                enc_out = self._eng.tick()
+                dec_out = self._dec.tick()
+                routes = []  # (conn, msg_type, payload) — send outside the lock
+                for sid, (codes, wav) in enc_out.items():
+                    conn = self._by_slot.get(("e", sid))
+                    if conn is None or conn.dead:
+                        continue
+                    if conn.mode == P.MODE_ENCODE:
+                        bits = int(np.ceil(self._eng.bits[sid]))
+                        routes.append((conn, P.MSG_CODES_OUT,
+                                       P.pack_codes_msg(codes[None, :], bits)))
+                    else:
+                        routes.append((conn, P.MSG_AUDIO_OUT, P.pack_audio(wav)))
+                for sid, wav in dec_out.items():
+                    conn = self._by_slot.get(("d", sid))
+                    if conn is None or conn.dead:
+                        continue
+                    routes.append((conn, P.MSG_AUDIO_OUT, P.pack_audio(wav)))
+            for conn, msg_type, payload in routes:
+                if not conn.send(msg_type, payload):
+                    with self._cond:
+                        self._teardown(conn)
+            with self._cond:
+                # only after this tick's outputs are sent: FIN any stream
+                # that has now drained (else its final frame would be lost)
+                self._finish_drained()
+
+    def _finish_drained(self) -> None:
+        """FIN connections that sent CLOSE and have no input left (caller
+        holds the lock)."""
+        for conn in [c for c in self._conns if c.closing and not c.dead]:
+            eng = self._dec if conn.mode == P.MODE_DECODE else self._eng
+            if not eng.has_frame(conn.sid):
+                self._teardown(conn)
+
+    def _teardown(self, conn: _Conn) -> None:
+        """Free the slot and close the socket (caller holds the lock)."""
+        if conn.dead:
+            return
+        conn.dead = True
+        if conn.sid is not None:
+            if conn.mode == P.MODE_DECODE:
+                self._dec.close_stream(conn.sid)
+                self._by_slot.pop(("d", conn.sid), None)
+            else:
+                self._eng.close_stream(conn.sid)
+                self._by_slot.pop(("e", conn.sid), None)
+        self._conns.discard(conn)
+        try:
+            conn.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        conn.sock.close()

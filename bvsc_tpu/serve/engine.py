@@ -179,6 +179,14 @@ class ServingEngine:
             [self._inq[sid], np.asarray(samples, np.float32)]
         )
 
+    def has_frame(self, sid: int) -> bool:
+        """Whether a tick() would advance this stream (a full frame —
+        WIN − pad_left samples before the first output, hop after)."""
+        if not self._active[sid]:
+            return False
+        need = (WIN - self.pad_left) if not self._started[sid] else self.hop
+        return self._inq[sid].shape[0] >= need
+
     # -- processing -----------------------------------------------------------
 
     def tick(self) -> dict[int, tuple[np.ndarray, np.ndarray]]:
@@ -361,6 +369,10 @@ class DecodeEngine:
             )
         for frame, flag in zip(codes, lost):
             self._inq[sid].append((frame, bool(flag)))
+
+    def has_frame(self, sid: int) -> bool:
+        """Whether a tick() would advance this stream (>=1 queued frame)."""
+        return bool(self._active[sid]) and bool(self._inq[sid])
 
     def push_lost(self, sid: int, n: int = 1) -> None:
         """Enqueue n never-arrived frames (concealed at tick)."""

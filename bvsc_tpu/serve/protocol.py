@@ -1,0 +1,220 @@
+"""BVSP/1 — the bvsc_tpu serving wire protocol (shared client/server part).
+
+A deliberately small, framed, little-endian binary protocol for streaming
+speech through a :class:`bvsc_tpu.serve.daemon.CodecDaemon` over TCP.  The
+reference has no serving layer at all (SURVEY §1 "no serving layer"); this
+is the network face of the batched engines (`serve/engine.py`), using the
+same native bit-packing wire format as `.bvsc` files
+(`bvsc_tpu/ops/bitpack.py`) for code payloads.
+
+This module has NO jax dependency — a client needs only numpy + stdlib.
+
+Framing
+-------
+Every message is ``<BI`` (type: u8, payload_len: u32, little-endian)
+followed by ``payload_len`` bytes of payload.  Payload lengths are bounded
+per type; an oversized or malformed message is a protocol error and the
+peer closes the connection after an ``ERROR`` message.
+
+Session
+-------
+One TCP connection == one stream.  The client opens with ``HELLO``
+(magic ``b"BVSP"``, version 1, mode, bitrate) and the server answers
+``OPENED`` (slot id, z_dim, hop).  Modes:
+
+  * ``MODE_RESYNTH`` (0): float32 audio in -> float32 audio out
+    (full encode -> decode -> vocoder chain, one slot of ``ServingEngine``),
+  * ``MODE_ENCODE`` (1): float32 audio in -> packed binary codes out
+    (``CODES`` messages, one 11.6 ms frame each),
+  * ``MODE_DECODE`` (2): packed codes (+ ``LOST`` concealment requests) in
+    -> float32 audio out (one slot of ``DecodeEngine``; the HELLO bitrate
+    field is the concealment bit allocation, NaN = all prior bits).
+
+Audio payloads are raw float32 samples at the codec rate (22.05 kHz for the
+shipped configs) — PCM conversion is the application's concern.  ``CODES``
+payloads are ``<HB`` (frames: u16, bits_per_frame: u8) + the packed
+first-k-priority bitstream produced by :func:`bvsc_tpu.ops.bitpack.pack_codes`.
+
+The client half is :class:`bvsc_tpu.serve.client.CodecClient`; the server
+half is :class:`bvsc_tpu.serve.daemon.CodecDaemon`.
+"""
+
+from __future__ import annotations
+
+import math
+import socket
+import struct
+
+import numpy as np
+
+MAGIC = b"BVSP"
+VERSION = 1
+
+# client -> server
+MSG_HELLO = 0x01
+MSG_AUDIO = 0x02
+MSG_CODES = 0x03
+MSG_LOST = 0x04
+MSG_SET_BITRATE = 0x05
+MSG_CLOSE = 0x06
+
+# server -> client
+MSG_OPENED = 0x81
+MSG_CODES_OUT = 0x82
+MSG_AUDIO_OUT = 0x83
+MSG_ERROR = 0xFF
+
+MODE_RESYNTH = 0
+MODE_ENCODE = 1
+MODE_DECODE = 2
+
+_HDR = struct.Struct("<BI")
+_HELLO = struct.Struct("<4sBBf")
+_OPENED = struct.Struct("<BHH")
+_CODES_HDR = struct.Struct("<HB")
+
+# per-type payload bounds (defense against hostile/corrupt peers)
+MAX_PAYLOAD = {
+    MSG_HELLO: _HELLO.size,
+    MSG_AUDIO: 4 << 20,  # ~47 s of float32 audio per message
+    MSG_CODES: 1 << 20,
+    MSG_LOST: 2,
+    MSG_SET_BITRATE: 4,
+    MSG_CLOSE: 0,
+    MSG_OPENED: _OPENED.size,
+    MSG_CODES_OUT: 1 << 20,
+    MSG_AUDIO_OUT: 4 << 20,
+    MSG_ERROR: 4096,
+}
+
+
+class ProtocolError(ValueError):
+    """Malformed or out-of-bounds BVSP message."""
+
+
+def write_msg(sock: socket.socket, msg_type: int, payload: bytes = b"") -> None:
+    sock.sendall(_HDR.pack(msg_type, len(payload)) + payload)
+
+
+def read_exact(sock: socket.socket, n: int) -> bytes | None:
+    """Read exactly n bytes; None on clean EOF at a message boundary."""
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            if not buf:
+                return None
+            raise ProtocolError("connection closed mid-message")
+        buf += chunk
+    return bytes(buf)
+
+
+def read_msg(sock: socket.socket) -> tuple[int, bytes] | None:
+    """Read one framed message; None on clean EOF."""
+    hdr = read_exact(sock, _HDR.size)
+    if hdr is None:
+        return None
+    msg_type, length = _HDR.unpack(hdr)
+    limit = MAX_PAYLOAD.get(msg_type)
+    if limit is None:
+        raise ProtocolError(f"unknown message type 0x{msg_type:02x}")
+    if length > limit:
+        raise ProtocolError(
+            f"payload of {length} B exceeds the {limit} B bound "
+            f"for message type 0x{msg_type:02x}"
+        )
+    payload = read_exact(sock, length) if length else b""
+    if length and payload is None:
+        raise ProtocolError("connection closed mid-message")
+    return msg_type, payload
+
+
+def pack_hello(mode: int, bitrate: float | None) -> bytes:
+    """bitrate None (decode mode: conceal with all prior bits) -> NaN."""
+    if mode not in (MODE_RESYNTH, MODE_ENCODE, MODE_DECODE):
+        raise ValueError(f"unknown mode {mode}")
+    br = float("nan") if bitrate is None else float(bitrate)
+    return _HELLO.pack(MAGIC, VERSION, mode, br)
+
+
+def unpack_hello(payload: bytes) -> tuple[int, float | None]:
+    if len(payload) != _HELLO.size:
+        raise ProtocolError("bad HELLO length")
+    magic, version, mode, bitrate = _HELLO.unpack(payload)
+    if magic != MAGIC:
+        raise ProtocolError("bad magic (not a BVSP client)")
+    if version != VERSION:
+        raise ProtocolError(f"unsupported BVSP version {version}")
+    if mode not in (MODE_RESYNTH, MODE_ENCODE, MODE_DECODE):
+        raise ProtocolError(f"unknown mode {mode}")
+    return mode, (None if math.isnan(bitrate) else bitrate)
+
+
+def pack_opened(sid: int, z_dim: int, hop: int) -> bytes:
+    return _OPENED.pack(sid, z_dim, hop)
+
+
+def unpack_opened(payload: bytes) -> tuple[int, int, int]:
+    if len(payload) != _OPENED.size:
+        raise ProtocolError("bad OPENED length")
+    return _OPENED.unpack(payload)
+
+
+def pack_audio(samples: np.ndarray) -> bytes:
+    x = np.ascontiguousarray(np.asarray(samples, np.float32).reshape(-1))
+    return x.tobytes()
+
+
+def unpack_audio(payload: bytes) -> np.ndarray:
+    if len(payload) % 4:
+        raise ProtocolError("AUDIO payload not a multiple of 4 bytes")
+    return np.frombuffer(payload, "<f4").astype(np.float32)
+
+
+def pack_codes_msg(codes: np.ndarray, bits: int) -> bytes:
+    """codes: (frames, z_dim) of {0,1} (0.5 in masked slots); bits: the
+    integer per-frame allocation the first-k packing uses."""
+    from bvsc_tpu.ops.bitpack import pack_codes
+
+    codes = np.asarray(codes, np.float32)
+    frames = codes.shape[0]
+    if frames > 0xFFFF:
+        raise ValueError("at most 65535 frames per CODES message")
+    if not 0 <= bits <= 0xFF:
+        raise ValueError("bits must be in [0, 255]")
+    return _CODES_HDR.pack(frames, bits) + pack_codes(codes, bits)
+
+
+def unpack_codes_msg(payload: bytes, z_dim: int) -> tuple[np.ndarray, int]:
+    """-> ((frames, z_dim) float32 codes with 0.5 midpoints, bits)."""
+    from bvsc_tpu.ops.bitpack import unpack_codes
+
+    if len(payload) < _CODES_HDR.size:
+        raise ProtocolError("bad CODES length")
+    frames, bits = _CODES_HDR.unpack(payload[: _CODES_HDR.size])
+    body = payload[_CODES_HDR.size :]
+    try:
+        codes = unpack_codes(body, float(bits), frames, z_dim)
+    except ValueError as e:
+        raise ProtocolError(str(e)) from e
+    return codes, bits
+
+
+def pack_u16(n: int) -> bytes:
+    return struct.pack("<H", n)
+
+
+def unpack_u16(payload: bytes) -> int:
+    if len(payload) != 2:
+        raise ProtocolError("bad u16 payload")
+    return struct.unpack("<H", payload)[0]
+
+
+def pack_f32(v: float) -> bytes:
+    return struct.pack("<f", v)
+
+
+def unpack_f32(payload: bytes) -> float:
+    if len(payload) != 4:
+        raise ProtocolError("bad f32 payload")
+    return struct.unpack("<f", payload)[0]

@@ -1,0 +1,85 @@
+"""Serve a codec over TCP (BVSP/1) — the production serving daemon CLI.
+
+Runs :class:`bvsc_tpu.serve.daemon.CodecDaemon`: every connection is one
+stream (encode / decode / full resynthesis), all connected streams advance
+together in one batched XLA dispatch per 11.6 ms frame.  The reference has
+no serving layer at all (SURVEY §1).
+
+  python scripts/serve_daemon.py --config configs/varbitrate.toml \
+      --bvrnn chkpts/bvsc_bvrnn_demo_step3000_f16.npz \
+      --vocoder chkpts/bvsc_vocoder_demo_ftbvrnn_g_step2400 \
+      --port 9630 --max_streams 128
+
+Clients: ``bvsc_tpu.serve.client.CodecClient`` (numpy + stdlib only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _cli_common
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None,
+                   help="codec TOML (reference-compatible); default config "
+                        "when omitted")
+    p.add_argument("--bvrnn", default=None, help="BVRNN checkpoint path")
+    p.add_argument("--vocoder", default=None, help="vocoder checkpoint path")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=9630,
+                   help="TCP port (0 = ephemeral, printed at startup)")
+    p.add_argument("--max_streams", type=int, default=128,
+                   help="stream slots per engine (the fixed device batch)")
+    p.add_argument("--precision", default="default",
+                   choices=["default", "highest"],
+                   help="'default' = bf16 MXU serving mode, 'highest' = "
+                        "reference-parity f32")
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8", "int8_mixed"],
+                   help="weight-only int8 BVRNN scans")
+    _cli_common.add_platform_arg(p)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    _cli_common.setup_runtime(args)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+    from bvsc_tpu.codec import DEFAULT_CONFIG, BVRNNCodecModel
+    from bvsc_tpu.serve.daemon import CodecDaemon
+
+    codec = BVRNNCodecModel(
+        args.config or DEFAULT_CONFIG,
+        bvrnn_chkpt_path=args.bvrnn,
+        vocoder_chkpt_path=args.vocoder,
+        precision=args.precision,
+        quantize=args.quantize,
+    )
+    daemon = CodecDaemon(codec, host=args.host, port=args.port,
+                         max_streams=args.max_streams)
+    daemon.start()
+    print(f"BVSP/1 serving on {args.host}:{daemon.port} "
+          f"({args.max_streams} stream slots)", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        daemon.close()
+
+
+if __name__ == "__main__":
+    main()
