@@ -44,23 +44,30 @@ class CodecClient:
             raise ValueError(f"mode must be one of {sorted(_MODES)}")
         self.mode = mode
         self.sock = socket.create_connection((host, port), timeout=timeout)
-        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        self._input_closed = False
-        P.write_msg(self.sock, P.MSG_HELLO,
-                    P.pack_hello(_MODES[mode], bitrate))
-        msg = self._recv()
-        if msg is None:
-            raise ServerError("server closed the connection during handshake")
-        msg_type, payload = msg
-        if msg_type != P.MSG_OPENED:
-            raise ServerError("handshake failed")
-        self.sid, self.z_dim, self.hop = P.unpack_opened(payload)
+        try:
+            self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            self._input_closed = False
+            P.write_msg(self.sock, P.MSG_HELLO,
+                        P.pack_hello(_MODES[mode], bitrate))
+            msg = self._recv()
+            if msg is None:
+                raise ServerError(
+                    "server closed the connection during handshake")
+            msg_type, payload = msg
+            if msg_type != P.MSG_OPENED:
+                raise ServerError("handshake failed")
+            self.sid, self.z_dim, self.hop = P.unpack_opened(payload)
+        except BaseException:
+            self.sock.close()  # no fd leak when the handshake is rejected
+            raise
 
     # -- sending ----------------------------------------------------------------
 
     def send_audio(self, samples: np.ndarray) -> None:
-        """float32 samples at the codec rate (encode/resynth modes)."""
-        P.write_msg(self.sock, P.MSG_AUDIO, P.pack_audio(samples))
+        """float32 samples at the codec rate (encode/resynth modes); any
+        length — split transparently into protocol-sized messages."""
+        for chunk in P.iter_audio_chunks(samples):
+            P.write_msg(self.sock, P.MSG_AUDIO, P.pack_audio(chunk))
 
     def send_codes(self, codes: np.ndarray, bits: int) -> None:
         """codes: (frames, z_dim) of {0,1} (0.5 in masked slots); bits: the

@@ -68,9 +68,20 @@ class CodecDaemon:
     """
 
     def __init__(self, codec, host: str = "127.0.0.1", port: int = 0,
-                 max_streams: int = 128, mesh=None):
+                 max_streams: int = 128, mesh=None,
+                 handshake_timeout: float = 30.0, send_timeout: float = 15.0):
+        """handshake_timeout bounds how long an accepted connection may take
+        to complete HELLO (before it owns a slot); send_timeout bounds a
+        single send to a slow-reading client (kernel SO_SNDTIMEO — a client
+        that stops reading is torn down instead of stalling the ticker and
+        every other stream behind it)."""
+        if not 1 <= max_streams <= 0xFFFF:
+            raise ValueError("max_streams must be in [1, 65535] "
+                             "(the wire carries slot ids as u16)")
         self.codec = codec
         self._host, self._requested_port = host, port
+        self._handshake_timeout = handshake_timeout
+        self._send_timeout = send_timeout
         self._cond = threading.Condition()
         # both engines exist up front: construction is cheap (zeros); the
         # jitted tick programs compile on first use per engine
@@ -126,8 +137,12 @@ class CodecDaemon:
                 continue
             except OSError:
                 return  # listener closed
-            sock.settimeout(None)
+            # bounded handshake; lifted to blocking-forever reads once the
+            # connection owns a slot (an idle live stream is legitimate —
+            # SO_KEEPALIVE reclaims dead peers)
+            sock.settimeout(self._handshake_timeout)
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            sock.setsockopt(socket.SOL_SOCKET, socket.SO_KEEPALIVE, 1)
             t = threading.Thread(
                 target=self._reader, args=(sock,),
                 name=f"bvsp-conn-{addr[1]}", daemon=True,
@@ -136,10 +151,23 @@ class CodecDaemon:
 
     def _reader(self, sock: socket.socket) -> None:
         conn = _Conn(sock)
+        with self._cond:
+            if self._shutdown:
+                sock.close()
+                return
+            self._conns.add(conn)  # tracked pre-handshake so close() reaches it
         try:
             self._handshake(conn)
-            with self._cond:
-                self._conns.add(conn)
+            # slot owned: lift the handshake deadline (blocking reads; dead
+            # peers are reclaimed by TCP keepalive) and bound sends at the
+            # kernel so one slow reader cannot stall the shared ticker
+            sock.settimeout(None)
+            import struct as _struct
+
+            sec = int(self._send_timeout)
+            usec = int((self._send_timeout - sec) * 1e6)
+            sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDTIMEO,
+                            _struct.pack("ll", sec, usec))
             while True:
                 msg = P.read_msg(sock)
                 if msg is None:  # EOF
@@ -164,11 +192,27 @@ class CodecDaemon:
             with self._cond:
                 self._teardown(conn)
 
+    def _check_bitrate(self, bitrate: float) -> float:
+        """Reject bitrates whose per-frame allocation the wire cannot carry
+        (or that are not finite) BEFORE they reach the shared tick loop."""
+        import math
+
+        if not math.isfinite(bitrate) or bitrate < 0:
+            raise P.ProtocolError(f"invalid bitrate {bitrate!r}")
+        bits = float(self.codec.bits_per_frame(float(bitrate)))
+        if not math.isfinite(bits) or not 0 <= math.ceil(bits) <= 0xFF:
+            raise P.ProtocolError(
+                f"bitrate {bitrate!r} -> {bits!r} bits/frame out of range"
+            )
+        return bitrate
+
     def _handshake(self, conn: _Conn) -> None:
         msg = P.read_msg(conn.sock)
         if msg is None or msg[0] != P.MSG_HELLO:
             raise P.ProtocolError("expected HELLO")
         mode, bitrate = P.unpack_hello(msg[1])
+        if bitrate is not None:
+            bitrate = self._check_bitrate(bitrate)
         conn.mode = mode
         with self._cond:
             if self._shutdown:
@@ -216,7 +260,7 @@ class CodecDaemon:
                     self._eng.push(conn.sid, samples)
                     self._cond.notify_all()
             elif msg_type == P.MSG_SET_BITRATE:
-                bps = P.unpack_f32(payload)
+                bps = self._check_bitrate(P.unpack_f32(payload))
                 with self._cond:
                     if conn.dead:
                         return
@@ -238,39 +282,52 @@ class CodecDaemon:
         return False
 
     def _tick_loop(self) -> None:
+        import time
+
         while True:
-            with self._cond:
-                while not self._shutdown and not self._has_work():
-                    self._finish_drained()
-                    self._cond.wait(timeout=0.2)
-                if self._shutdown:
+            try:
+                if self._tick_once():
                     return
-                enc_out = self._eng.tick()
-                dec_out = self._dec.tick()
-                routes = []  # (conn, msg_type, payload) — send outside the lock
-                for sid, (codes, wav) in enc_out.items():
-                    conn = self._by_slot.get(("e", sid))
-                    if conn is None or conn.dead:
-                        continue
-                    if conn.mode == P.MODE_ENCODE:
-                        bits = int(np.ceil(self._eng.bits[sid]))
-                        routes.append((conn, P.MSG_CODES_OUT,
-                                       P.pack_codes_msg(codes[None, :], bits)))
-                    else:
-                        routes.append((conn, P.MSG_AUDIO_OUT, P.pack_audio(wav)))
-                for sid, wav in dec_out.items():
-                    conn = self._by_slot.get(("d", sid))
-                    if conn is None or conn.dead:
-                        continue
-                    routes.append((conn, P.MSG_AUDIO_OUT, P.pack_audio(wav)))
-            for conn, msg_type, payload in routes:
-                if not conn.send(msg_type, payload):
-                    with self._cond:
-                        self._teardown(conn)
-            with self._cond:
-                # only after this tick's outputs are sent: FIN any stream
-                # that has now drained (else its final frame would be lost)
+            except Exception:  # backstop: the ticker must outlive any bug —
+                # it is the one thread every stream depends on
+                log.exception("tick loop error; continuing")
+                time.sleep(0.1)
+
+    def _tick_once(self) -> bool:
+        """One wait+tick+route cycle; True when shutting down."""
+        with self._cond:
+            while not self._shutdown and not self._has_work():
                 self._finish_drained()
+                self._cond.wait(timeout=0.2)
+            if self._shutdown:
+                return True
+            enc_out = self._eng.tick()
+            dec_out = self._dec.tick()
+            routes = []  # (conn, msg_type, payload) — send outside the lock
+            for sid, (codes, wav) in enc_out.items():
+                conn = self._by_slot.get(("e", sid))
+                if conn is None or conn.dead:
+                    continue
+                if conn.mode == P.MODE_ENCODE:
+                    bits = int(np.ceil(self._eng.bits[sid]))
+                    routes.append((conn, P.MSG_CODES_OUT,
+                                   P.pack_codes_msg(codes[None, :], bits)))
+                else:
+                    routes.append((conn, P.MSG_AUDIO_OUT, P.pack_audio(wav)))
+            for sid, wav in dec_out.items():
+                conn = self._by_slot.get(("d", sid))
+                if conn is None or conn.dead:
+                    continue
+                routes.append((conn, P.MSG_AUDIO_OUT, P.pack_audio(wav)))
+        for conn, msg_type, payload in routes:
+            if not conn.send(msg_type, payload):
+                with self._cond:
+                    self._teardown(conn)
+        with self._cond:
+            # only after this tick's outputs are sent: FIN any stream
+            # that has now drained (else its final frame would be lost)
+            self._finish_drained()
+        return False
 
     def _finish_drained(self) -> None:
         """FIN connections that sent CLOSE and have no input left (caller

@@ -70,8 +70,12 @@ MODE_DECODE = 2
 
 _HDR = struct.Struct("<BI")
 _HELLO = struct.Struct("<4sBBf")
-_OPENED = struct.Struct("<BHH")
+_OPENED = struct.Struct("<HHH")  # sid u16 (slot counts up to 65535), z_dim, hop
 _CODES_HDR = struct.Struct("<HB")
+
+# one AUDIO message carries at most this many float32 samples (stays under
+# MAX_PAYLOAD[MSG_AUDIO]); senders chunk transparently (TCP is a stream)
+MAX_AUDIO_SAMPLES = 1 << 20
 
 # per-type payload bounds (defense against hostile/corrupt peers)
 MAX_PAYLOAD = {
@@ -161,8 +165,20 @@ def unpack_opened(payload: bytes) -> tuple[int, int, int]:
 
 
 def pack_audio(samples: np.ndarray) -> bytes:
-    x = np.ascontiguousarray(np.asarray(samples, np.float32).reshape(-1))
-    return x.tobytes()
+    # explicit little-endian: the wire format is LE regardless of host order
+    x = np.asarray(samples).reshape(-1).astype("<f4", copy=False)
+    return np.ascontiguousarray(x).tobytes()
+
+
+def iter_audio_chunks(samples: np.ndarray):
+    """Split samples into MSG_AUDIO-sized pieces (<= MAX_AUDIO_SAMPLES each);
+    framing is stream-oriented, so chunking is invisible to the receiver."""
+    x = np.asarray(samples).reshape(-1)
+    if x.size == 0:
+        yield x
+        return
+    for i in range(0, x.size, MAX_AUDIO_SAMPLES):
+        yield x[i : i + MAX_AUDIO_SAMPLES]
 
 
 def unpack_audio(payload: bytes) -> np.ndarray:

@@ -272,3 +272,88 @@ def test_encode_hello_requires_bitrate(daemon):
     with pytest.raises(ServerError):
         CodecClient("127.0.0.1", daemon.port, mode="encode", bitrate=None,
                     timeout=60)
+
+
+@pytest.mark.parametrize("bad", [-5.0, 1e12, float("inf")])
+def test_invalid_hello_bitrate_rejected(daemon, bad):
+    """Out-of-range bitrates must be rejected at HELLO, never reach the
+    shared tick loop (a crash there would stall every stream)."""
+    with pytest.raises(ServerError):
+        CodecClient("127.0.0.1", daemon.port, mode="encode", bitrate=bad,
+                    timeout=60)
+
+
+def test_invalid_set_bitrate_kills_stream_not_daemon(codec, daemon, rng):
+    x = (rng.standard_normal(768 + 256) * 0.3).astype(np.float32)
+    with pytest.raises(ServerError):
+        with CodecClient("127.0.0.1", daemon.port, mode="encode",
+                         bitrate=BITRATE, timeout=60) as c:
+            c.set_bitrate(float("nan"))
+            c.send_audio(x)
+            c.drain()
+    # the daemon is still healthy for the next client
+    codes_ref, _ = solo_engine_run(codec, x, BITRATE)
+    with CodecClient("127.0.0.1", daemon.port, mode="encode",
+                     bitrate=BITRATE, timeout=300) as c:
+        c.send_audio(x)
+        c.close_input()
+        out = c.drain()
+    k = int(np.ceil(codec.bits_per_frame(BITRATE)))
+    np.testing.assert_array_equal(out["codes"][:, :k], codes_ref[:, :k])
+
+
+def test_max_streams_bound(codec):
+    with pytest.raises(ValueError):
+        CodecDaemon(codec, max_streams=70000)
+
+
+def test_audio_chunking_roundtrip(rng):
+    from bvsc_tpu.serve import protocol as proto
+
+    x = rng.standard_normal(proto.MAX_AUDIO_SAMPLES * 2 + 17).astype(np.float32)
+    chunks = list(proto.iter_audio_chunks(x))
+    assert all(c.size <= proto.MAX_AUDIO_SAMPLES for c in chunks)
+    assert all(len(proto.pack_audio(c)) <= proto.MAX_PAYLOAD[proto.MSG_AUDIO]
+               for c in chunks)
+    np.testing.assert_array_equal(np.concatenate(chunks), x)
+    out = np.concatenate(
+        [proto.unpack_audio(proto.pack_audio(c)) for c in chunks])
+    np.testing.assert_array_equal(out, x)
+    assert [c.size for c in proto.iter_audio_chunks(np.zeros(0))] == [0]
+
+
+def test_garbage_never_crashes_daemon(codec, daemon, rng):
+    """Random bytes at the socket must be rejected cleanly (ERROR or close),
+    never crash the daemon or leak slots: a valid client still works after."""
+    import time
+
+    for i in range(16):
+        s = socket.create_connection(("127.0.0.1", daemon.port), timeout=60)
+        try:
+            # the server may RST mid-send once it spots the garbage — any
+            # OSError on our side is acceptable; the invariant under test is
+            # the daemon's health afterwards
+            try:
+                s.sendall(rng.integers(0, 256, rng.integers(1, 200),
+                                       dtype=np.uint8).tobytes())
+                s.shutdown(socket.SHUT_WR)
+                s.settimeout(10)
+                while s.recv(4096):
+                    pass
+            except OSError:
+                pass
+        finally:
+            s.close()
+    deadline = time.time() + 60
+    while time.time() < deadline and daemon._by_slot:
+        time.sleep(0.05)
+    assert not daemon._by_slot, "garbage connections leaked slots"
+
+    x = (rng.standard_normal(768 + 256) * 0.3).astype(np.float32)
+    codes_ref, wav_ref = solo_engine_run(codec, x, BITRATE)
+    with CodecClient("127.0.0.1", daemon.port, mode="resynth",
+                     bitrate=BITRATE, timeout=300) as c:
+        c.send_audio(x)
+        c.close_input()
+        out = c.drain()
+    np.testing.assert_array_equal(out["audio"], wav_ref)
