@@ -68,25 +68,54 @@ class CodecDaemon:
     """
 
     def __init__(self, codec, host: str = "127.0.0.1", port: int = 0,
-                 max_streams: int = 128, mesh=None,
+                 max_streams: int | None = None, mesh=None,
                  handshake_timeout: float = 30.0, send_timeout: float = 15.0):
-        """handshake_timeout bounds how long an accepted connection may take
+        """``codec`` may be a live :class:`bvsc_tpu.codec.BVRNNCodecModel`
+        or an AOT :class:`bvsc_tpu.serve.export.ServingBundle` exported with
+        ``engine_batch=N`` — the daemon then serves entirely from the
+        artifact (slot count fixed at N; ``max_streams``, if given, must
+        match, and ``mesh`` does not apply).  For a live codec
+        ``max_streams`` defaults to 128.
+
+        handshake_timeout bounds how long an accepted connection may take
         to complete HELLO (before it owns a slot); send_timeout bounds a
         single send to a slow-reading client (kernel SO_SNDTIMEO — a client
         that stops reading is torn down instead of stalling the ticker and
         every other stream behind it)."""
-        if not 1 <= max_streams <= 0xFFFF:
-            raise ValueError("max_streams must be in [1, 65535] "
-                             "(the wire carries slot ids as u16)")
+        from bvsc_tpu.serve.export import (
+            BundleDecodeEngine, BundleServingEngine, ServingBundle,
+        )
+
         self.codec = codec
         self._host, self._requested_port = host, port
         self._handshake_timeout = handshake_timeout
         self._send_timeout = send_timeout
         self._cond = threading.Condition()
         # both engines exist up front: construction is cheap (zeros); the
-        # jitted tick programs compile on first use per engine
-        self._eng = ServingEngine(codec, max_streams=max_streams, mesh=mesh)
-        self._dec = DecodeEngine(codec, max_streams=max_streams, mesh=mesh)
+        # tick programs compile / deserialize on first use per engine
+        if isinstance(codec, ServingBundle):
+            if mesh is not None:
+                raise ValueError("mesh sharding needs a live codec")
+            self._eng = BundleServingEngine(codec)
+            self._dec = BundleDecodeEngine(codec)
+            if max_streams is not None and max_streams != self._eng.B:
+                raise ValueError(
+                    f"bundle exports {self._eng.B} stream slots, "
+                    f"got max_streams={max_streams}"
+                )
+            max_streams = self._eng.B
+            if not 1 <= max_streams <= 0xFFFF:
+                raise ValueError("bundle engine_batch must be in [1, 65535] "
+                                 "(the wire carries slot ids as u16)")
+        else:
+            max_streams = 128 if max_streams is None else max_streams
+            if not 1 <= max_streams <= 0xFFFF:
+                raise ValueError("max_streams must be in [1, 65535] "
+                                 "(the wire carries slot ids as u16)")
+            self._eng = ServingEngine(codec, max_streams=max_streams,
+                                      mesh=mesh)
+            self._dec = DecodeEngine(codec, max_streams=max_streams,
+                                     mesh=mesh)
         self._conns: set[_Conn] = set()
         self._by_slot: dict[tuple[str, int], _Conn] = {}
         self._listener: socket.socket | None = None

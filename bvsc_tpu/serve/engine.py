@@ -41,10 +41,7 @@ from bvsc_tpu.streaming import generator_stream_init, generator_stream_step
 WIN = 1024
 
 
-@functools.partial(
-    jax.jit, static_argnames=("bcfg", "vcfg", "frontend"), donate_argnums=(2,)
-)
-def _fused_tick(
+def _fused_tick_impl(
     params, voc_params, state, chunk, bits, active, *, bcfg, vcfg, frontend
 ):
     """ONE dispatch advancing every active slot by one 256-sample frame.
@@ -87,6 +84,11 @@ def _fused_tick(
         "voc": _merge_active(mask, voc_state, state["voc"]),
     }
     return new_state, codes[:, 0, :], wav[:, 0, :] / SCALING
+
+
+_fused_tick = functools.partial(
+    jax.jit, static_argnames=("bcfg", "vcfg", "frontend"), donate_argnums=(2,)
+)(_fused_tick_impl)
 
 
 def _merge_active(mask, new_tree, old_tree):
@@ -141,6 +143,15 @@ class ServingEngine:
         self._frontend = codec.frontend
         self._bcfg = codec.bvrnn_cfg
         self._vcfg = conf.vocoder_config
+
+    def _tick_call(self, state, chunk, bits, active):
+        """The one fused device program per tick (overridden by the AOT
+        bundle-backed engine with a deserialized export)."""
+        return _fused_tick(
+            self.codec.bvrnn_params, self.codec.vocoder_params, state,
+            chunk, bits, active,
+            bcfg=self._bcfg, vcfg=self._vcfg, frontend=self._frontend,
+        )
 
     def _put(self, tree):
         if self._batch_sharding is None:
@@ -240,27 +251,16 @@ class ServingEngine:
             if self._batch_sharding is not None
             else jnp.asarray(t)
         )
-        self.state, codes, wav = _fused_tick(
-            self.codec.bvrnn_params,
-            self.codec.vocoder_params,
-            self.state,
-            dev(chunk),
-            dev(self.bits),
-            dev(active),
-            bcfg=self._bcfg,
-            vcfg=self._vcfg,
-            frontend=self._frontend,
+        self.state, codes, wav = self._tick_call(
+            self.state, dev(chunk), dev(self.bits), dev(active)
         )
         codes_np = np.asarray(codes)
         wav_np = np.asarray(wav)
         return {sid: (codes_np[sid], wav_np[sid]) for sid in advanced}
 
 
-@functools.partial(
-    jax.jit, static_argnames=("bcfg", "vcfg"), donate_argnums=(2,)
-)
-def _decode_tick(params, voc_params, state, codes, lost, cbits, active, *,
-                 bcfg, vcfg):
+def _decode_tick_impl(params, voc_params, state, codes, lost, cbits, active, *,
+                      bcfg, vcfg):
     """ONE dispatch advancing every active decode-only slot by one frame.
 
     state: {h (B, h_dim), voc (pytree)}; codes: (B, z_dim); lost: (B,)
@@ -281,6 +281,11 @@ def _decode_tick(params, voc_params, state, codes, lost, cbits, active, *,
         "voc": _merge_active(mask, voc_state, state["voc"]),
     }
     return new_state, wav[:, 0, :] / SCALING
+
+
+_decode_tick = functools.partial(
+    jax.jit, static_argnames=("bcfg", "vcfg"), donate_argnums=(2,)
+)(_decode_tick_impl)
 
 
 class DecodeEngine:
@@ -328,6 +333,13 @@ class DecodeEngine:
         self.cbits = np.full(self.B, float(self.z_dim), np.float32)
         self._bcfg = codec.bvrnn_cfg
         self._vcfg = conf.vocoder_config
+
+    def _tick_call(self, state, codes, lost, cbits, active):
+        """One fused decode tick (overridden by the bundle-backed engine)."""
+        return _decode_tick(
+            self.codec.bvrnn_params, self.codec.vocoder_params, state,
+            codes, lost, cbits, active, bcfg=self._bcfg, vcfg=self._vcfg,
+        )
 
     def _put(self, tree):
         if self._batch_sharding is None:
@@ -401,16 +413,8 @@ class DecodeEngine:
             if self._batch_sharding is not None
             else jnp.asarray(t)
         )
-        self.state, wav = _decode_tick(
-            self.codec.bvrnn_params,
-            self.codec.vocoder_params,
-            self.state,
-            dev(codes),
-            dev(lost),
-            dev(self.cbits),
-            dev(active),
-            bcfg=self._bcfg,
-            vcfg=self._vcfg,
+        self.state, wav = self._tick_call(
+            self.state, dev(codes), dev(lost), dev(self.cbits), dev(active)
         )
         wav_np = np.asarray(wav)
         return {sid: wav_np[sid] for sid in advanced}

@@ -101,6 +101,7 @@ def export_serving_bundle(
     batch: int | None = 1,
     lengths: tuple[int, ...] = (2 ** 16,),
     packet: bool = True,
+    engine_batch: int | None = None,
     platforms: tuple[str, ...] = ("cpu", "tpu"),
 ) -> dict:
     """Export ``codec`` (a :class:`bvsc_tpu.codec.BVRNNCodecModel`) to a
@@ -115,6 +116,15 @@ def export_serving_bundle(
     dimension (jax.export shape polymorphism): one serialized program
     serves any request batch size.  The packet programs keep a concrete
     batch of 1 in that mode (live sessions are fixed device slots).
+
+    ``engine_batch=N`` additionally exports the batched multi-stream
+    serving-engine tick programs (the active-masked full-duplex tick of
+    :class:`bvsc_tpu.serve.engine.ServingEngine` and the decode-with-PLC
+    tick of :class:`~bvsc_tpu.serve.engine.DecodeEngine`) at N stream
+    slots — :class:`BundleServingEngine` / :class:`BundleDecodeEngine`
+    (and through them the BVSP daemon, ``scripts/serve_daemon.py
+    --bundle``) then serve N concurrent network streams from the artifact
+    alone.
     """
     from bvsc_tpu.codec import _decode_impl, _encode_impl, _forward_impl
 
@@ -243,6 +253,57 @@ def export_serving_bundle(
             "batch": packet_batch,
         }
 
+    engine_meta = None
+    if engine_batch:
+        from bvsc_tpu.serve.engine import _decode_tick_impl, _fused_tick_impl
+        from bvsc_tpu.streaming import generator_stream_init
+
+        EB = int(engine_batch)
+        eng_state0 = {
+            "window": jnp.zeros((EB, conf.winsize), f32),
+            "h": jnp.zeros((EB, conf.h_dim), bcfg.dtype),
+            "voc": generator_stream_init(vcfg, EB, bcfg.dtype),
+        }
+
+        def eng_tick_fn(p, vp, state, chunk, bits, active):
+            return _fused_tick_impl(p, vp, state, chunk, bits, active,
+                                    bcfg=bcfg, vcfg=vcfg, frontend=frontend)
+
+        blobs["programs/engine_tick.shlo"] = _export(
+            eng_tick_fn, pspec, vspec, _tree_specs(eng_state0),
+            jax.ShapeDtypeStruct((EB, conf.hopsize), f32),
+            jax.ShapeDtypeStruct((EB,), f32),
+            jax.ShapeDtypeStruct((EB,), jnp.bool_),
+        )
+        blobs["programs/engine_init.shlo"] = _export(lambda: eng_state0)
+
+        eng_dec_state0 = {
+            "h": jnp.zeros((EB, conf.h_dim), bcfg.dtype),
+            "voc": generator_stream_init(vcfg, EB, bcfg.dtype),
+        }
+
+        def eng_dec_tick_fn(p, vp, state, codes, lost, cbits, active):
+            return _decode_tick_impl(p, vp, state, codes, lost, cbits,
+                                     active, bcfg=bcfg, vcfg=vcfg)
+
+        blobs["programs/engine_decode_tick.shlo"] = _export(
+            eng_dec_tick_fn, pspec, vspec, _tree_specs(eng_dec_state0),
+            jax.ShapeDtypeStruct((EB, conf.z_dim), f32),
+            jax.ShapeDtypeStruct((EB,), f32),
+            jax.ShapeDtypeStruct((EB,), f32),
+            jax.ShapeDtypeStruct((EB,), jnp.bool_),
+        )
+        blobs["programs/engine_decode_init.shlo"] = _export(
+            lambda: eng_dec_state0
+        )
+        engine_meta = {
+            "tick": "programs/engine_tick.shlo",
+            "init": "programs/engine_init.shlo",
+            "decode_tick": "programs/engine_decode_tick.shlo",
+            "decode_init": "programs/engine_decode_init.shlo",
+            "batch": EB,
+        }
+
     manifest = {
         "format": FORMAT,
         "jax_version": jax.__version__,
@@ -251,6 +312,7 @@ def export_serving_bundle(
         "config": dataclasses.asdict(conf),
         "buckets": buckets,
         "packet": packet_meta,
+        "engine": engine_meta,
         "params": {"bvrnn": "params/bvrnn.npz", "vocoder": "params/vocoder.npz"},
     }
 
@@ -435,6 +497,18 @@ class ServingBundle:
         )[:, :length]
         return y[0] if squeeze else y
 
+    def bits_per_frame(self, bitrate):
+        """bps -> bits/frame (same rounding as the live codec)."""
+        return self.conf.bits_per_frame(bitrate)
+
+    def serving_engine(self) -> "BundleServingEngine":
+        """Batched multi-stream serving from the artifact alone (requires
+        export with ``engine_batch=N``); one slot per concurrent stream."""
+        return BundleServingEngine(self)
+
+    def decode_engine(self) -> "BundleDecodeEngine":
+        return BundleDecodeEngine(self)
+
     def packet_codec(self, bitrate: float = 3000.0) -> "ExportedPacketCodec":
         if not self.meta.get("packet"):
             raise ValueError("bundle was exported without packet programs")
@@ -545,3 +619,88 @@ class ExportedPacketDecoder:
         """Free-run ``n_frames`` lost packets from the prior (PLC)."""
         codes = np.full((self.batch, n_frames, self.z_dim), 0.5, np.float32)
         return self.feed(codes, lost=np.ones((self.batch, n_frames), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# bundle-backed batched serving engines
+# ---------------------------------------------------------------------------
+
+
+def _require_engine_meta(bundle: ServingBundle) -> dict:
+    eng = bundle.meta.get("engine")
+    if not eng:
+        raise ValueError(
+            "bundle has no serving-engine programs; re-export with "
+            "engine_batch=N (export_serving_bundle)"
+        )
+    return eng
+
+
+def _engine_base():
+    from bvsc_tpu.serve.engine import DecodeEngine, ServingEngine
+
+    return ServingEngine, DecodeEngine
+
+
+_ServingEngine, _DecodeEngine = _engine_base()
+
+
+class BundleServingEngine(_ServingEngine):
+    """:class:`bvsc_tpu.serve.engine.ServingEngine` semantics with every
+    device program replaced by the bundle's exported ``engine_tick`` — a
+    serving host runs N concurrent full-duplex streams (and the BVSP daemon
+    on top, ``scripts/serve_daemon.py --bundle``) from the ``.bvscx``
+    artifact alone: no model code, converter, or re-trace at serve time.
+    Slot count is fixed at the export's ``engine_batch``."""
+
+    def __init__(self, bundle: ServingBundle):
+        # mirrors ServingEngine.__init__ without a live codec: state comes
+        # from the exported init program, ticks from the exported tick
+        eng = _require_engine_meta(bundle)
+        conf = bundle.conf
+        self.codec = bundle  # .conf / .bits_per_frame — all the engine needs
+        self.B = int(eng["batch"])
+        self.hop = conf.hopsize
+        self.pad_left = conf.mel_pad_left
+        self.z_dim = conf.z_dim
+        self._batch_sharding = None
+        self._tick_prog = bundle._program(eng["tick"])
+        self.state = bundle._program(eng["init"]).call()
+        self.bits = np.zeros(self.B, np.float32)
+        self._free = list(range(self.B))
+        self._active = np.zeros(self.B, bool)
+        self._started = np.zeros(self.B, bool)
+        self._inq = [np.zeros(0, np.float32) for _ in range(self.B)]
+
+    def _tick_call(self, state, chunk, bits, active):
+        return self._tick_prog.call(
+            self.codec.bvrnn_params, self.codec.vocoder_params, state,
+            chunk, bits, active,
+        )
+
+
+class BundleDecodeEngine(_DecodeEngine):
+    """Decode-only counterpart of :class:`BundleServingEngine` (codes in,
+    audio out, per-stream prior-based PLC) from the exported
+    ``engine_decode_tick``."""
+
+    def __init__(self, bundle: ServingBundle):
+        eng = _require_engine_meta(bundle)
+        conf = bundle.conf
+        self.codec = bundle
+        self.B = int(eng["batch"])
+        self.hop = conf.hopsize
+        self.z_dim = conf.z_dim
+        self._batch_sharding = None
+        self._tick_prog = bundle._program(eng["decode_tick"])
+        self.state = bundle._program(eng["decode_init"]).call()
+        self._free = list(range(self.B))
+        self._active = np.zeros(self.B, bool)
+        self._inq = [[] for _ in range(self.B)]
+        self.cbits = np.full(self.B, float(self.z_dim), np.float32)
+
+    def _tick_call(self, state, codes, lost, cbits, active):
+        return self._tick_prog.call(
+            self.codec.bvrnn_params, self.codec.vocoder_params, state,
+            codes, lost, cbits, active,
+        )

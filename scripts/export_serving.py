@@ -40,6 +40,11 @@ def main(argv=None) -> None:
     p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
     p.add_argument("--no_packet", action="store_true",
                    help="skip the real-time packet programs")
+    p.add_argument("--engine_batch", type=int, default=None,
+                   help="also export the batched serving-engine tick "
+                        "programs at N stream slots (enables "
+                        "ServingBundle.serving_engine()/decode_engine() and "
+                        "`serve_daemon.py --bundle`)")
     p.add_argument("--quantize", default=None, choices=["int8", "int8_mixed"])
     add_platform_arg(p)
     args = p.parse_args(argv)
@@ -58,13 +63,16 @@ def main(argv=None) -> None:
     batch = None if args.batch == "any" else int(args.batch)
     manifest = export_serving_bundle(
         codec, args.out, batch=batch, lengths=lengths,
-        packet=not args.no_packet, platforms=tuple(args.platforms),
+        packet=not args.no_packet, engine_batch=args.engine_batch,
+        platforms=tuple(args.platforms),
     )
     kb = os.path.getsize(args.out) / 1e3
     buckets = [b["length"] for b in manifest["buckets"]]
+    eng = manifest.get("engine")
     print(f"{args.out}: {kb:.0f} kB, batch {args.batch}, "
           f"buckets {buckets}, platforms {manifest['platforms']}, "
-          f"packet={'yes' if manifest['packet'] else 'no'}")
+          f"packet={'yes' if manifest['packet'] else 'no'}, "
+          f"engine={eng['batch'] if eng else 'no'}")
 
 
 if __name__ == "__main__":

@@ -33,11 +33,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "when omitted")
     p.add_argument("--bvrnn", default=None, help="BVRNN checkpoint path")
     p.add_argument("--vocoder", default=None, help="vocoder checkpoint path")
+    p.add_argument("--bundle", default=None,
+                   help="serve from an AOT .bvscx bundle exported with "
+                        "--engine_batch (no model code or checkpoints "
+                        "needed; overrides --config/--bvrnn/--vocoder)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=9630,
                    help="TCP port (0 = ephemeral, printed at startup)")
-    p.add_argument("--max_streams", type=int, default=128,
-                   help="stream slots per engine (the fixed device batch)")
+    p.add_argument("--max_streams", type=int, default=None,
+                   help="stream slots per engine (the fixed device batch; "
+                        "default 128, or the bundle's exported slot count)")
     p.add_argument("--precision", default="default",
                    choices=["default", "highest"],
                    help="'default' = bf16 MXU serving mode, 'highest' = "
@@ -57,21 +62,28 @@ def main(argv=None) -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
-    from bvsc_tpu.codec import DEFAULT_CONFIG, BVRNNCodecModel
     from bvsc_tpu.serve.daemon import CodecDaemon
 
-    codec = BVRNNCodecModel(
-        args.config or DEFAULT_CONFIG,
-        bvrnn_chkpt_path=args.bvrnn,
-        vocoder_chkpt_path=args.vocoder,
-        precision=args.precision,
-        quantize=args.quantize,
-    )
+    if args.bundle:
+        from bvsc_tpu.serve.export import ServingBundle
+
+        codec = ServingBundle.load(args.bundle)
+    else:
+        from bvsc_tpu.codec import DEFAULT_CONFIG, BVRNNCodecModel
+
+        codec = BVRNNCodecModel(
+            args.config or DEFAULT_CONFIG,
+            bvrnn_chkpt_path=args.bvrnn,
+            vocoder_chkpt_path=args.vocoder,
+            precision=args.precision,
+            quantize=args.quantize,
+        )
     daemon = CodecDaemon(codec, host=args.host, port=args.port,
                          max_streams=args.max_streams)
     daemon.start()
     print(f"BVSP/1 serving on {args.host}:{daemon.port} "
-          f"({args.max_streams} stream slots)", flush=True)
+          f"({daemon._eng.B} stream slots"
+          f"{', AOT bundle' if args.bundle else ''})", flush=True)
     try:
         while True:
             time.sleep(3600)

@@ -236,3 +236,113 @@ def test_old_bundle_without_receiver_programs(codec, tmp_path, rng):
     b = ServingBundle.load(path)
     with pytest.raises(ValueError, match="packet"):
         b.packet_decoder()
+
+
+# ---------------------------------------------------------------------------
+# bundle-backed batched serving engines
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def engine_bundle(codec, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bundle") / "engine.bvscx")
+    manifest = export_serving_bundle(
+        codec, path, batch=1, lengths=(1024,), packet=False, engine_batch=4,
+        platforms=("cpu", "tpu"),
+    )
+    assert manifest["engine"]["batch"] == 4
+    return ServingBundle.load(path)
+
+
+@pytest.mark.slow
+def test_bundle_serving_engine_matches_live(codec, engine_bundle, rng):
+    """N concurrent full-duplex streams from the artifact alone == the live
+    ServingEngine (codes bit-exact; audio to reload float precision)."""
+    from bvsc_tpu.serve.engine import ServingEngine
+
+    L = 768 + 256 * 5
+    x1 = (rng.standard_normal(L) * 0.3).astype(np.float32)
+    x2 = (rng.standard_normal(L) * 0.2).astype(np.float32)
+
+    def run(eng):
+        s1 = eng.open_stream(3000)
+        s2 = eng.open_stream(600)  # per-stream bitrate (VBR midpoints)
+        eng.push(s1, x1)
+        eng.push(s2, x2)
+        c1, w1, c2, w2 = [], [], [], []
+        while True:
+            out = eng.tick()
+            if not out:
+                break
+            c1.append(out[s1][0]); w1.append(out[s1][1])
+            c2.append(out[s2][0]); w2.append(out[s2][1])
+        return (np.stack(c1), np.concatenate(w1),
+                np.stack(c2), np.concatenate(w2))
+
+    live = run(ServingEngine(codec, max_streams=4))
+    got = run(engine_bundle.serving_engine())
+    np.testing.assert_array_equal(got[0], live[0])
+    np.testing.assert_array_equal(got[2], live[2])
+    np.testing.assert_allclose(got[1], live[1], atol=1e-6)
+    np.testing.assert_allclose(got[3], live[3], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_bundle_decode_engine_matches_live(codec, engine_bundle, rng):
+    from bvsc_tpu.serve.engine import DecodeEngine
+
+    z = codec.conf.z_dim
+    frames = rng.integers(0, 2, (6, z)).astype(np.float32)
+    lost = np.array([0, 0, 1, 0, 1, 0], np.float32)
+
+    def run(eng):
+        sid = eng.open_stream(conceal_bitrate=1378.0)
+        eng.push(sid, frames, lost=lost)
+        out = []
+        while True:
+            got = eng.tick()
+            if sid not in got:
+                break
+            out.append(got[sid])
+        return np.concatenate(out)
+
+    live = run(DecodeEngine(codec, max_streams=4))
+    got = run(engine_bundle.decode_engine())
+    np.testing.assert_allclose(got, live, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_daemon_serves_from_bundle(codec, engine_bundle, rng):
+    """scripts/serve_daemon.py --bundle path: network serving with zero
+    model code — wire output equals a live engine run."""
+    from bvsc_tpu.serve.client import CodecClient
+    from bvsc_tpu.serve.daemon import CodecDaemon
+    from bvsc_tpu.serve.engine import ServingEngine
+
+    x = (rng.standard_normal(768 + 256 * 4) * 0.3).astype(np.float32)
+    eng = ServingEngine(codec, max_streams=4)
+    sid = eng.open_stream(3000)
+    eng.push(sid, x)
+    ws = []
+    while True:
+        out = eng.tick()
+        if sid not in out:
+            break
+        ws.append(out[sid][1])
+    wav_live = np.concatenate(ws)
+
+    with CodecDaemon(engine_bundle, port=0) as d:
+        assert d._eng.B == 4
+        with CodecClient("127.0.0.1", d.port, mode="resynth", bitrate=3000,
+                         timeout=300) as c:
+            c.send_audio(x)
+            c.close_input()
+            out = c.drain()
+    np.testing.assert_allclose(out["audio"], wav_live, atol=1e-6)
+
+
+def test_engineless_bundle_rejects_engines(bundle):
+    with pytest.raises(ValueError, match="engine"):
+        bundle.serving_engine()
+    with pytest.raises(ValueError, match="engine"):
+        bundle.decode_engine()
