@@ -38,7 +38,6 @@ from bvsc_tpu.models import bvrnn as bvrnn_mod
 from bvsc_tpu.ops.mel import dynamic_range_compression
 from bvsc_tpu.streaming import generator_stream_init, generator_stream_step
 
-WIN = 1024
 
 
 def _fused_tick_impl(
@@ -113,6 +112,7 @@ class ServingEngine:
         conf = codec.conf
         self.B = max_streams
         self.hop = conf.hopsize
+        self.win = conf.winsize
         self.pad_left = conf.mel_pad_left
         self.z_dim = conf.z_dim
         dtype = codec.bvrnn_cfg.dtype
@@ -127,7 +127,7 @@ class ServingEngine:
 
         self.state = self._put(
             {
-                "window": jnp.zeros((self.B, WIN), jnp.float32),
+                "window": jnp.zeros((self.B, self.win), jnp.float32),
                 "h": jnp.zeros((self.B, conf.h_dim), dtype),
                 "voc": generator_stream_init(conf.vocoder_config, self.B, dtype),
             }
@@ -192,10 +192,10 @@ class ServingEngine:
 
     def has_frame(self, sid: int) -> bool:
         """Whether a tick() would advance this stream (a full frame —
-        WIN − pad_left samples before the first output, hop after)."""
+        winsize − pad_left samples before the first output, hop after)."""
         if not self._active[sid]:
             return False
-        need = (WIN - self.pad_left) if not self._started[sid] else self.hop
+        need = (self.win - self.pad_left) if not self._started[sid] else self.hop
         return self._inq[sid].shape[0] >= need
 
     # -- processing -----------------------------------------------------------
@@ -208,7 +208,7 @@ class ServingEngine:
         advanced = []
         chunk = np.zeros((self.B, self.hop), np.float32)
         preload: list[tuple[int, np.ndarray]] = []
-        need = WIN - self.pad_left  # 768: lookahead + first hop
+        need = self.win - self.pad_left  # 768 @ default config: lookahead + first hop
         for sid in range(self.B):
             if not self._active[sid]:
                 continue
@@ -217,7 +217,7 @@ class ServingEngine:
                     continue
                 x = self._inq[sid][:need]
                 pre = x[1 : self.pad_left + 1][::-1]  # reflect pre-roll
-                window0 = np.concatenate([pre, x])  # (WIN,)
+                window0 = np.concatenate([pre, x])  # (winsize,)
                 # preload the slot's window so rolling in the final hop
                 # reproduces window0 exactly (one-shot left padding)
                 preload.append(

@@ -661,6 +661,7 @@ class BundleServingEngine(_ServingEngine):
         self.codec = bundle  # .conf / .bits_per_frame — all the engine needs
         self.B = int(eng["batch"])
         self.hop = conf.hopsize
+        self.win = conf.winsize
         self.pad_left = conf.mel_pad_left
         self.z_dim = conf.z_dim
         self._batch_sharding = None

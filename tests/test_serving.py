@@ -299,3 +299,36 @@ def test_decode_engine_sharded_over_mesh_matches_unsharded(codec, rng):
     plain = run(DecodeEngine(codec, max_streams=8))
     mesh = run(DecodeEngine(codec, max_streams=8, mesh=make_mesh(8)))
     np.testing.assert_allclose(mesh, plain, atol=1e-6)
+
+
+def test_engine_respects_config_winsize(rng):
+    """ServingEngine must size its rolling window from conf.winsize, not a
+    hard-coded 1024 (regression: WIN constant): one slot at winsize=64
+    equals a dedicated StreamingCodec."""
+    from bvsc_tpu.config import CodecConfig
+    from test_vocoder import tiny_cfg
+
+    conf = CodecConfig(
+        num_mels=8, h_dim=32, z_dim=12, hopsize=8, winsize=64,
+        mel_pad_left=16, var_bit=True,
+        vocoder_config=tiny_cfg(),  # total upsample 8 == hopsize
+    )
+    codec_small = BVRNNCodecModel(config=conf, seed=5, length_bucket=4)
+    L = (64 - 16) + 8 * 6
+    x = (rng.standard_normal(L) * 0.3).astype(np.float32)
+
+    eng = ServingEngine(codec_small, max_streams=2)
+    sid = eng.open_stream(500)
+    eng.push(sid, x)
+    wav = []
+    while True:
+        out = eng.tick()
+        if sid not in out:
+            break
+        wav.append(out[sid][1])
+    wav = np.concatenate(wav)
+
+    sc = StreamingCodec(codec_small, batch=1, bitrate=500)
+    wav_ref = sc.process(x[None, :])
+    np.testing.assert_allclose(wav, wav_ref[0, : wav.shape[0]], atol=1e-5)
+    assert wav.shape[0] > 0
