@@ -1,0 +1,417 @@
+/* bvsp_client — native BVSP/1 streaming client (no Python, no JAX).
+ *
+ * A deployment box (SIP gateway, embedded recorder, ingest shim) should not
+ * need the Python stack to talk to a bvsc_tpu serving daemon
+ * (bvsc_tpu/serve/daemon.py).  This is the C counterpart of
+ * bvsc_tpu/serve/client.py: one process == one stream, speaking the framed
+ * little-endian BVSP/1 wire protocol (bvsc_tpu/serve/protocol.py).
+ *
+ * Usage:
+ *   bvsp_client HOST PORT resynth BITRATE   < in.f32   > out.f32
+ *   bvsp_client HOST PORT encode  BITRATE   < in.f32   > out.bvspf
+ *   bvsp_client HOST PORT decode  [BITRATE] < in.bvspf > out.f32
+ *
+ * I/O contract (all little-endian, matching the wire):
+ *   - f32 streams are raw float32 samples at the codec rate (22.05 kHz for
+ *     the shipped configs); PCM conversion is the caller's concern.
+ *   - .bvspf streams are BVSP frames verbatim: u8 type, u32 payload length,
+ *     payload.  encode mode emits the daemon's CODES_OUT frames (one 11.6 ms
+ *     packet each, first-k-priority packed bits, bvsc_tpu/native/bitpack.c);
+ *     decode mode forwards CODES and LOST frames from stdin (LOST = ask the
+ *     server to conceal n frames from the model prior — PLC).
+ *   - decode BITRATE is the concealment bit allocation; omitted or "nan"
+ *     means all prior bits (protocol NaN).
+ *
+ * Single-threaded poll() loop with a non-blocking socket and an outbound
+ * queue: stdin is only consumed while the queue is shallow, so a slow
+ * server cannot wedge the client against the daemon's send timeouts (the
+ * daemon kills peers that stall its writes — serve/daemon.py hardening).
+ *
+ * Exit codes: 0 ok; 1 usage/connect failure; 2 server ERROR; 3 protocol
+ * violation by the server; 4 malformed local input.
+ *
+ * Build (also done on demand by bvsc_tpu/serve/native_client.py):
+ *   cc -O2 -o bvsp_client bvsp_client.c
+ */
+
+#include <errno.h>
+#include <math.h>
+#include <netdb.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <poll.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <strings.h>
+#include <sys/socket.h>
+#include <sys/types.h>
+#include <unistd.h>
+#include <fcntl.h>
+
+/* ---- protocol constants (bvsc_tpu/serve/protocol.py) ---------------- */
+
+#define MSG_HELLO 0x01
+#define MSG_AUDIO 0x02
+#define MSG_CODES 0x03
+#define MSG_LOST 0x04
+#define MSG_SET_BITRATE 0x05
+#define MSG_CLOSE 0x06
+#define MSG_OPENED 0x81
+#define MSG_CODES_OUT 0x82
+#define MSG_AUDIO_OUT 0x83
+#define MSG_ERROR 0xFF
+
+#define MODE_RESYNTH 0
+#define MODE_ENCODE 1
+#define MODE_DECODE 2
+
+#define HDR_SIZE 5       /* u8 type + u32 len */
+#define HELLO_SIZE 10    /* "BVSP" + u8 ver + u8 mode + f32 bitrate */
+#define OPENED_SIZE 6    /* u16 sid + u16 z_dim + u16 hop */
+
+/* per-type payload bounds for SERVER->client frames (protocol MAX_PAYLOAD) */
+static long max_payload(uint8_t t) {
+  switch (t) {
+    case MSG_OPENED:    return OPENED_SIZE;
+    case MSG_CODES_OUT: return 1L << 20;
+    case MSG_AUDIO_OUT: return 4L << 20;
+    case MSG_ERROR:     return 4096;
+    default:            return -1;
+  }
+}
+
+/* bounds for frames we forward from local .bvspf input in decode mode */
+static long max_payload_fwd(uint8_t t) {
+  switch (t) {
+    case MSG_CODES: return 1L << 20;
+    case MSG_LOST:  return 2;
+    default:        return -1;
+  }
+}
+
+/* one AUDIO message carries at most this many f32 samples */
+#define MAX_AUDIO_SAMPLES (1L << 20)
+/* stop consuming stdin while more than this many bytes are queued outbound */
+#define OUTQ_SOFT_CAP (1L << 22)
+#define STDIN_CHUNK 65536
+
+/* ---- little-endian serialization (wire format is LE, host-agnostic) -- */
+
+static void put_u32le(uint8_t *p, uint32_t v) {
+  p[0] = (uint8_t)v; p[1] = (uint8_t)(v >> 8);
+  p[2] = (uint8_t)(v >> 16); p[3] = (uint8_t)(v >> 24);
+}
+static uint32_t get_u32le(const uint8_t *p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+         ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+}
+static void put_f32le(uint8_t *p, float f) {
+  uint32_t v; memcpy(&v, &f, 4); put_u32le(p, v);
+}
+
+/* ---- growable byte queue --------------------------------------------- */
+
+typedef struct {
+  uint8_t *data;
+  size_t head, len, cap;
+} buf_t;
+
+static void buf_push(buf_t *b, const void *src, size_t n) {
+  if (b->head && b->head + b->len + n > b->cap) {  /* compact */
+    memmove(b->data, b->data + b->head, b->len);
+    b->head = 0;
+  }
+  if (b->len + n > b->cap) {
+    size_t cap = b->cap ? b->cap : 4096;
+    while (cap < b->len + n) cap *= 2;
+    b->data = realloc(b->data, cap);
+    if (!b->data) { perror("realloc"); exit(1); }
+    b->cap = cap;
+  }
+  memcpy(b->data + b->head + b->len, src, n);
+  b->len += n;
+}
+static void buf_consume(buf_t *b, size_t n) {
+  b->head += n; b->len -= n;
+  if (!b->len) b->head = 0;
+}
+static uint8_t *buf_ptr(buf_t *b) { return b->data + b->head; }
+
+/* ---- helpers ---------------------------------------------------------- */
+
+static void queue_frame(buf_t *out, uint8_t type, const void *payload,
+                        uint32_t len) {
+  uint8_t hdr[HDR_SIZE];
+  hdr[0] = type;
+  put_u32le(hdr + 1, len);
+  buf_push(out, hdr, HDR_SIZE);
+  if (len) buf_push(out, payload, len);
+}
+
+static int write_all(int fd, const void *p, size_t n) {
+  const uint8_t *s = p;
+  while (n) {
+    ssize_t w = write(fd, s, n);
+    if (w < 0) {
+      if (errno == EINTR) continue;
+      return -1;
+    }
+    s += w; n -= (size_t)w;
+  }
+  return 0;
+}
+
+static int connect_to(const char *host, const char *port) {
+  struct addrinfo hints, *res, *ai;
+  memset(&hints, 0, sizeof hints);
+  hints.ai_family = AF_UNSPEC;
+  hints.ai_socktype = SOCK_STREAM;
+  int rc = getaddrinfo(host, port, &hints, &res);
+  if (rc) {
+    fprintf(stderr, "bvsp_client: %s:%s: %s\n", host, port, gai_strerror(rc));
+    return -1;
+  }
+  int fd = -1;
+  for (ai = res; ai; ai = ai->ai_next) {
+    fd = socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);
+    if (fd < 0) continue;
+    if (connect(fd, ai->ai_addr, ai->ai_addrlen) == 0) break;
+    close(fd);
+    fd = -1;
+  }
+  freeaddrinfo(res);
+  if (fd < 0) {
+    fprintf(stderr, "bvsp_client: cannot connect to %s:%s\n", host, port);
+    return -1;
+  }
+  int one = 1;
+  setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof one);
+  return fd;
+}
+
+/* ---- main ------------------------------------------------------------- */
+
+int main(int argc, char **argv) {
+  if (argc < 4 || argc > 5) {
+    fprintf(stderr,
+            "usage: bvsp_client HOST PORT resynth|encode|decode [BITRATE]\n");
+    return 1;
+  }
+  int mode;
+  if (!strcmp(argv[3], "resynth")) mode = MODE_RESYNTH;
+  else if (!strcmp(argv[3], "encode")) mode = MODE_ENCODE;
+  else if (!strcmp(argv[3], "decode")) mode = MODE_DECODE;
+  else {
+    fprintf(stderr, "bvsp_client: unknown mode '%s'\n", argv[3]);
+    return 1;
+  }
+  float bitrate = NAN;
+  if (argc == 5 && strcasecmp(argv[4], "nan") != 0)
+    bitrate = strtof(argv[4], NULL);
+  if (mode != MODE_DECODE && isnan(bitrate)) {
+    fprintf(stderr, "bvsp_client: %s mode needs a BITRATE\n", argv[3]);
+    return 1;
+  }
+
+  int sock = connect_to(argv[1], argv[2]);
+  if (sock < 0) return 1;
+
+  buf_t outq = {0}, inq = {0}, stdin_buf = {0};
+
+  /* HELLO */
+  {
+    uint8_t hello[HELLO_SIZE];
+    memcpy(hello, "BVSP", 4);
+    hello[4] = 1; /* version */
+    hello[5] = (uint8_t)mode;
+    put_f32le(hello + 6, bitrate);
+    queue_frame(&outq, MSG_HELLO, hello, HELLO_SIZE);
+  }
+
+  if (fcntl(sock, F_SETFL, O_NONBLOCK) < 0) { perror("fcntl"); return 1; }
+
+  int stdin_open = 1, close_sent = 0, opened = 0;
+  int exit_code = 0;
+
+  for (;;) {
+    struct pollfd fds[2];
+    int nfds = 0;
+    int sock_idx = nfds;
+    fds[nfds].fd = sock;
+    fds[nfds].events = POLLIN | (outq.len ? POLLOUT : 0);
+    ++nfds;
+    int stdin_idx = -1;
+    /* only consume local input after OPENED, and while the queue is
+       shallow (backpressure towards the producer, not the daemon) */
+    if (stdin_open && opened && outq.len < OUTQ_SOFT_CAP) {
+      stdin_idx = nfds;
+      fds[nfds].fd = STDIN_FILENO;
+      fds[nfds].events = POLLIN;
+      ++nfds;
+    }
+    if (poll(fds, (nfds_t)nfds, -1) < 0) {
+      if (errno == EINTR) continue;
+      perror("poll");
+      return 3;
+    }
+
+    /* ---- socket writable: flush outbound queue ---- */
+    if (fds[sock_idx].revents & POLLOUT) {
+      while (outq.len) {
+        ssize_t w = send(sock, buf_ptr(&outq), outq.len, MSG_NOSIGNAL);
+        if (w < 0) {
+          if (errno == EAGAIN || errno == EWOULDBLOCK) break;
+          if (errno == EINTR) continue;
+          /* peer gone: fall through to read side to pick up ERROR/EOF */
+          break;
+        }
+        buf_consume(&outq, (size_t)w);
+      }
+    }
+
+    /* ---- socket readable: parse frames ---- */
+    if (fds[sock_idx].revents & (POLLIN | POLLHUP | POLLERR)) {
+      uint8_t tmp[65536];
+      int eof = 0;
+      for (;;) {
+        ssize_t r = recv(sock, tmp, sizeof tmp, 0);
+        if (r > 0) { buf_push(&inq, tmp, (size_t)r); continue; }
+        if (r == 0) { eof = 1; break; }
+        if (errno == EAGAIN || errno == EWOULDBLOCK) break;
+        if (errno == EINTR) continue;
+        eof = 1;
+        break;
+      }
+      /* drain complete frames */
+      for (;;) {
+        if (inq.len < HDR_SIZE) break;
+        uint8_t type = buf_ptr(&inq)[0];
+        uint32_t len = get_u32le(buf_ptr(&inq) + 1);
+        long lim = max_payload(type);
+        if (lim < 0) {
+          fprintf(stderr,
+                  "bvsp_client: unexpected message type 0x%02x\n", type);
+          return 3;
+        }
+        if ((long)len > lim) {
+          fprintf(stderr, "bvsp_client: oversized payload (%u B)\n", len);
+          return 3;
+        }
+        if (inq.len < HDR_SIZE + (size_t)len) break;
+        const uint8_t *payload = buf_ptr(&inq) + HDR_SIZE;
+        if (type == MSG_ERROR) {
+          fprintf(stderr, "bvsp_client: server error: %.*s\n", (int)len,
+                  (const char *)payload);
+          return 2;
+        } else if (type == MSG_OPENED) {
+          if (opened || len != OPENED_SIZE) {
+            fprintf(stderr, "bvsp_client: bad OPENED\n");
+            return 3;
+          }
+          opened = 1;
+        } else if (type == MSG_AUDIO_OUT) {
+          if (mode == MODE_ENCODE || len % 4) {
+            fprintf(stderr, "bvsp_client: unexpected AUDIO_OUT\n");
+            return 3;
+          }
+          if (write_all(STDOUT_FILENO, payload, len) < 0) {
+            perror("write");
+            return 1;
+          }
+        } else if (type == MSG_CODES_OUT) {
+          if (mode != MODE_ENCODE) {
+            fprintf(stderr, "bvsp_client: unexpected CODES_OUT\n");
+            return 3;
+          }
+          /* emit the frame verbatim (.bvspf = wire framing) */
+          uint8_t hdr[HDR_SIZE];
+          hdr[0] = type;
+          put_u32le(hdr + 1, len);
+          if (write_all(STDOUT_FILENO, hdr, HDR_SIZE) < 0 ||
+              write_all(STDOUT_FILENO, payload, len) < 0) {
+            perror("write");
+            return 1;
+          }
+        }
+        buf_consume(&inq, HDR_SIZE + (size_t)len);
+      }
+      if (eof) {
+        if (inq.len) {
+          fprintf(stderr, "bvsp_client: connection closed mid-message\n");
+          return 3;
+        }
+        break; /* clean end of stream */
+      }
+    }
+
+    /* ---- stdin readable: stage local input ---- */
+    if (stdin_idx >= 0 && (fds[stdin_idx].revents & (POLLIN | POLLHUP))) {
+      uint8_t tmp[STDIN_CHUNK];
+      ssize_t r = read(STDIN_FILENO, tmp, sizeof tmp);
+      if (r < 0 && errno != EINTR) { perror("read"); return 1; }
+      if (r > 0) {
+        buf_push(&stdin_buf, tmp, (size_t)r);
+        if (mode == MODE_DECODE) {
+          /* forward complete CODES/LOST frames verbatim */
+          for (;;) {
+            if (stdin_buf.len < HDR_SIZE) break;
+            uint8_t type = buf_ptr(&stdin_buf)[0];
+            uint32_t len = get_u32le(buf_ptr(&stdin_buf) + 1);
+            long lim = max_payload_fwd(type);
+            if (lim < 0) {
+              fprintf(stderr,
+                      "bvsp_client: input frame type 0x%02x not allowed in "
+                      "decode mode\n", type);
+              return 4;
+            }
+            if ((long)len > lim) {
+              fprintf(stderr, "bvsp_client: oversized input frame\n");
+              return 4;
+            }
+            if (stdin_buf.len < HDR_SIZE + (size_t)len) break;
+            queue_frame(&outq, type, buf_ptr(&stdin_buf) + HDR_SIZE, len);
+            buf_consume(&stdin_buf, HDR_SIZE + (size_t)len);
+          }
+        } else {
+          /* whole samples only; carry the remainder bytes */
+          size_t nsamp = stdin_buf.len / 4;
+          while (nsamp) {
+            size_t take = nsamp > (size_t)MAX_AUDIO_SAMPLES
+                              ? (size_t)MAX_AUDIO_SAMPLES : nsamp;
+            queue_frame(&outq, MSG_AUDIO, buf_ptr(&stdin_buf),
+                        (uint32_t)(take * 4));
+            buf_consume(&stdin_buf, take * 4);
+            nsamp -= take;
+          }
+        }
+      }
+      if (r == 0) {
+        stdin_open = 0;
+        if (mode != MODE_DECODE && stdin_buf.len) {
+          fprintf(stderr,
+                  "bvsp_client: trailing %zu bytes are not a whole float32 "
+                  "sample\n", stdin_buf.len);
+          return 4;
+        }
+        if (mode == MODE_DECODE && stdin_buf.len) {
+          fprintf(stderr, "bvsp_client: truncated input frame\n");
+          return 4;
+        }
+      }
+    }
+
+    /* half-close once all local input has been staged */
+    if (!stdin_open && !close_sent) {
+      queue_frame(&outq, MSG_CLOSE, NULL, 0);
+      close_sent = 1;
+    }
+  }
+
+  close(sock);
+  free(outq.data);
+  free(inq.data);
+  free(stdin_buf.data);
+  return exit_code;
+}

@@ -1,0 +1,148 @@
+"""Native C BVSP client (bvsc_tpu/native/bvsp_client.c) vs the Python client.
+
+The C client is the zero-Python deployment path; everything it puts on or
+reads off the wire must equal the Python client bit-for-bit.  The daemon
+(and through it the batched engines) is the shared oracle.
+"""
+
+import shutil
+import struct
+
+import numpy as np
+import pytest
+
+from bvsc_tpu.codec import BVRNNCodecModel
+from bvsc_tpu.serve import protocol as P
+from bvsc_tpu.serve.client import CodecClient
+from bvsc_tpu.serve.daemon import CodecDaemon
+from bvsc_tpu.serve.native_client import client_binary, run_native_client
+from test_codec import small_conf
+
+BITRATE = 600
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("cc") is None, reason="no C toolchain"
+)
+
+
+@pytest.fixture(scope="module")
+def codec():
+    return BVRNNCodecModel(config=small_conf(), seed=3, length_bucket=16)
+
+
+@pytest.fixture()
+def daemon(codec):
+    d = CodecDaemon(codec, port=0, max_streams=4)
+    d.start()
+    yield d
+    d.close()
+
+
+def test_binary_builds_and_reports_usage():
+    exe = client_binary()
+    import subprocess
+
+    proc = subprocess.run([exe], capture_output=True)
+    assert proc.returncode == 1
+    assert b"usage" in proc.stderr
+
+
+def test_resynth_equals_python_client(codec, daemon, rng):
+    x = (rng.standard_normal(768 + 256 * 5) * 0.3).astype(np.float32)
+    with CodecClient("127.0.0.1", daemon.port, mode="resynth",
+                     bitrate=BITRATE, timeout=300) as c:
+        c.send_audio(x)
+        c.close_input()
+        ref = c.drain()["audio"]
+
+    proc = run_native_client("127.0.0.1", daemon.port, "resynth", BITRATE,
+                             x.astype("<f4").tobytes(), timeout=300)
+    assert proc.returncode == 0, proc.stderr.decode()
+    out = np.frombuffer(proc.stdout, "<f4")
+    np.testing.assert_array_equal(out, ref)
+
+
+def _parse_bvspf(blob: bytes):
+    """-> list of (type, payload) wire frames from a .bvspf byte stream."""
+    frames, pos = [], 0
+    while pos < len(blob):
+        t, n = struct.unpack_from("<BI", blob, pos)
+        pos += 5
+        frames.append((t, blob[pos : pos + n]))
+        assert len(frames[-1][1]) == n, "truncated .bvspf"
+        pos += n
+    return frames
+
+
+def test_encode_equals_python_client(codec, daemon, rng):
+    x = (rng.standard_normal(768 + 256 * 5) * 0.3).astype(np.float32)
+    with CodecClient("127.0.0.1", daemon.port, mode="encode",
+                     bitrate=BITRATE, timeout=300) as c:
+        c.send_audio(x)
+        c.close_input()
+        ref = c.drain()
+
+    proc = run_native_client("127.0.0.1", daemon.port, "encode", BITRATE,
+                             x.astype("<f4").tobytes(), timeout=300)
+    assert proc.returncode == 0, proc.stderr.decode()
+    frames = _parse_bvspf(proc.stdout)
+    assert all(t == P.MSG_CODES_OUT for t, _ in frames)
+    codes, bits = [], []
+    for _, payload in frames:
+        c_frame, b = P.unpack_codes_msg(payload, codec.conf.z_dim)
+        codes.append(c_frame)
+        bits.append(b)
+    np.testing.assert_array_equal(np.concatenate(codes, axis=0), ref["codes"])
+    assert bits == ref["bits"]
+
+
+def test_decode_with_plc_equals_python_client(codec, daemon, rng):
+    z = codec.conf.z_dim
+    frames = [(rng.integers(0, 2, z).astype(np.float32), False)
+              for _ in range(4)]
+    frames += [(None, True)]
+    frames += [(rng.integers(0, 2, z).astype(np.float32), False)
+               for _ in range(3)]
+
+    with CodecClient("127.0.0.1", daemon.port, mode="decode",
+                     bitrate=None, timeout=300) as c:
+        for codes, lost in frames:
+            if lost:
+                c.send_lost(1)
+            else:
+                c.send_codes(codes[None, :], bits=z)
+        c.close_input()
+        ref = c.drain()["audio"]
+
+    blob = b""
+    for codes, lost in frames:
+        if lost:
+            payload = P.pack_u16(1)
+            blob += struct.pack("<BI", P.MSG_LOST, len(payload)) + payload
+        else:
+            payload = P.pack_codes_msg(codes[None, :], bits=z)
+            blob += struct.pack("<BI", P.MSG_CODES, len(payload)) + payload
+
+    proc = run_native_client("127.0.0.1", daemon.port, "decode", None,
+                             blob, timeout=300)
+    assert proc.returncode == 0, proc.stderr.decode()
+    out = np.frombuffer(proc.stdout, "<f4")
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_server_error_surfaces_as_exit_2(codec, daemon):
+    proc = run_native_client("127.0.0.1", daemon.port, "resynth", -5.0,
+                             b"", timeout=60)
+    assert proc.returncode == 2
+    assert b"server error" in proc.stderr
+
+
+def test_malformed_local_input_rejected(codec, daemon):
+    # trailing partial sample in audio mode -> exit 4, no hang
+    proc = run_native_client("127.0.0.1", daemon.port, "resynth", BITRATE,
+                             b"\x00\x01\x02", timeout=60)
+    assert proc.returncode == 4
+    # garbage frame type in decode mode -> exit 4
+    proc = run_native_client("127.0.0.1", daemon.port, "decode", None,
+                             b"\x7f\x00\x00\x00\x00", timeout=60)
+    assert proc.returncode == 4
