@@ -320,6 +320,26 @@ def test_prepare_demo_data_cli(cli_env, tmp_path):
             ["--src", str(src), "--out", str(out), "--val", "stim_99"])
 
 
+def test_compare_reference_conditions_cli(tmp_path, capsys):
+    """Published-conditions scorer on one real stimulus dir (--skip_ours:
+    no model run, pure metric path + ratings CSV join)."""
+    import json
+
+    import compare_reference_conditions
+
+    out_json = tmp_path / "cond.json"
+    compare_reference_conditions.main([
+        "--skip_ours", "--limit", "1", "--out_json", str(out_json),
+    ])
+    report = json.loads(out_json.read_text())
+    conds = report["conditions"]
+    # every published wav scored, MUSHRA means joined from the ratings CSV
+    assert conds["prop_13.wav"]["mushra_condition"] == "Proposed 1.38"
+    assert conds["prop_55.wav"]["mel_l1"] > 0
+    assert {"mel_l1", "mrstft", "stoi", "mcd_db"} <= set(
+        report["spearman_vs_mushra"])
+
+
 @pytest.mark.slow
 def test_train_vocoder_validation_modes(cli_env, tmp_path, capsys,
                                         test_cache_env):
