@@ -51,6 +51,12 @@ def parse_args(argv=None):
     p.add_argument("--validation_interval", type=int, default=50000)
     p.add_argument("--freeze_step", type=int, default=0)
     p.add_argument("--fine_tuning", action="store_true")
+    p.add_argument("--augment", action="store_true",
+                   help="on-the-fly speed perturbation (0.85-1.15) + random "
+                        "gain (-10..0 dB) per crop (train split only) — "
+                        "counters overfitting on tiny corpora; incompatible "
+                        "with --fine_tuning (precomputed mels would desync "
+                        "from the augmented waveform)")
     p.add_argument("--audio_scale", type=float, default=None,
                    help="multiply target audio by this; defaults to the "
                         "codec's -10 dB SCALING in --fine_tuning mode (the "
@@ -169,10 +175,16 @@ def main(argv=None):
             for line in f.read().splitlines() if line
         ]
     train_files = [f if f.endswith(".wav") else f + ".wav" for f in train_files]
+    if args.augment and args.fine_tuning:
+        raise SystemExit("--augment is incompatible with --fine_tuning "
+                         "(precomputed mels would desync from the "
+                         "augmented waveform)")
     trainset = AudioSegmentDataset(
         train_files, tcfg.segment_size, tcfg.sampling_rate, tcfg.hop_size,
         fine_tuning=args.fine_tuning, base_mels_path=args.input_mels_dir,
         seed=args.seed,
+        augment={"speed": (0.85, 1.15), "gain_db": (-10.0, 0.0)}
+        if args.augment else None,
     )
     def read_filelist(filelist, wavs_dir):
         with open(filelist) as f:

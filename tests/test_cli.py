@@ -139,11 +139,25 @@ def test_train_vocoder_cli(cli_env, tmp_path, capsys, test_cache_env):
         "--checkpoint_path", str(ckdir),
         "--max_steps", "1", "--batch_size", "8",
         "--segment_size", "512", "--stdout_interval", "1",
-        "--split_programs", "off", "--debug",
+        "--split_programs", "off", "--debug", "--augment",
         "--platform", "cpu",
     ])
     out = capsys.readouterr().out
     assert "Steps : 1" in out
+
+    # --augment with --fine_tuning must be rejected (mel/wave desync)
+    with pytest.raises(SystemExit, match="incompatible"):
+        train_vocoder.main([
+            "--config", str(cli_env / "tiny.toml"),
+            "--input_wavs_dir", str(cli_env / "wavs"),
+            "--input_training_file", str(cli_env / "train.txt"),
+            "--checkpoint_path", str(tmp_path / "voc_ft"),
+            "--max_steps", "1", "--batch_size", "8",
+            "--segment_size", "512",
+            "--augment", "--fine_tuning",
+            "--input_mels_dir", str(tmp_path),
+            "--platform", "cpu",
+        ])
 
 
 def test_synthesize_cli(cli_env, tmp_path, capsys):
