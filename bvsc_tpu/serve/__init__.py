@@ -12,6 +12,8 @@ _LAZY = {
     "export_serving_bundle": ("bvsc_tpu.serve.export", "export_serving_bundle"),
     "CodecDaemon": ("bvsc_tpu.serve.daemon", "CodecDaemon"),
     "CodecClient": ("bvsc_tpu.serve.client", "CodecClient"),
+    "client_binary": ("bvsc_tpu.serve.native_client", "client_binary"),
+    "run_native_client": ("bvsc_tpu.serve.native_client", "run_native_client"),
 }
 
 __all__ = sorted(_LAZY)
