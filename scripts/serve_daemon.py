@@ -84,10 +84,18 @@ def main(argv=None) -> None:
     print(f"BVSP/1 serving on {args.host}:{daemon.port} "
           f"({daemon._eng.B} stream slots"
           f"{', AOT bundle' if args.bundle else ''})", flush=True)
+    # service managers stop with SIGTERM: convert to SystemExit so the
+    # finally block drains and closes cleanly instead of dying mid-tick
+    import signal
+
+    def _term(signum, frame):
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         while True:
             time.sleep(3600)
-    except KeyboardInterrupt:
+    except (KeyboardInterrupt, SystemExit):
         pass
     finally:
         daemon.close()

@@ -334,6 +334,44 @@ def test_prepare_demo_data_cli(cli_env, tmp_path):
             ["--src", str(src), "--out", str(out), "--val", "stim_99"])
 
 
+@pytest.mark.slow
+def test_serve_daemon_cli_sigterm(cli_env):
+    """The daemon CLI serves a stream end-to-end and shuts down cleanly on
+    SIGTERM (the service-manager stop signal), exit code 0."""
+    import signal
+    import subprocess
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_COMPILATION_CACHE_DIR"] = "/root/.cache/jax_comp_tests"
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts", "serve_daemon.py"),
+         "--config", str(cli_env / "tiny.toml"),
+         "--port", "0", "--max_streams", "2", "--platform", "cpu"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env, text=True,
+    )
+    try:
+        line = proc.stdout.readline()  # blocks until the daemon is up
+        assert "BVSP/1 serving on" in line, line
+        port = int(line.split()[3].rsplit(":", 1)[1])
+
+        from bvsc_tpu.serve.client import CodecClient
+
+        x = np.zeros(1024, np.float32)
+        with CodecClient("127.0.0.1", port, mode="resynth",
+                         bitrate=200, timeout=300) as c:
+            c.send_audio(x)
+            c.close_input()
+            out = c.drain()
+        assert out["audio"].size > 0
+
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_compare_reference_conditions_cli(tmp_path, capsys):
     """Published-conditions scorer on one real stimulus dir (--skip_ours:
     no model run, pure metric path + ratings CSV join)."""
