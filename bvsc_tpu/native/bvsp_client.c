@@ -28,7 +28,14 @@
  * daemon kills peers that stall its writes — serve/daemon.py hardening).
  *
  * Exit codes: 0 ok; 1 usage/connect failure; 2 server ERROR; 3 protocol
- * violation by the server; 4 malformed local input.
+ * violation / premature close / stall by the server; 4 malformed local
+ * input.  A close is only "clean" when the client had sent CLOSE and
+ * nothing remained queued — anything else exits non-zero, so
+ * `bvsp_client ... > out.f32 && publish` can never ship truncated audio.
+ *
+ * BVSP_TIMEOUT (env, seconds, default 300): inactivity bound for connect
+ * and for the poll loop; a wedged daemon fails the client instead of
+ * hanging it.
  *
  * Build (also done on demand by bvsc_tpu/serve/native_client.py):
  *   cc -O2 -o bvsp_client bvsp_client.c
@@ -163,6 +170,38 @@ static int write_all(int fd, const void *p, size_t n) {
   return 0;
 }
 
+static int timeout_ms(void) {
+  const char *s = getenv("BVSP_TIMEOUT");
+  double t = s ? strtod(s, NULL) : 300.0;
+  if (t <= 0) t = 300.0;
+  if (t > 86400.0) t = 86400.0;
+  return (int)(t * 1000.0);
+}
+
+/* non-blocking connect with the inactivity timeout */
+static int connect_one(struct addrinfo *ai, int tmo_ms) {
+  int fd = socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);
+  if (fd < 0) return -1;
+  if (fcntl(fd, F_SETFL, O_NONBLOCK) < 0) { close(fd); return -1; }
+  int rc = connect(fd, ai->ai_addr, ai->ai_addrlen);
+  if (rc < 0 && errno == EINPROGRESS) {
+    struct pollfd p = {.fd = fd, .events = POLLOUT};
+    rc = poll(&p, 1, tmo_ms);
+    if (rc > 0) {
+      int err = 0;
+      socklen_t len = sizeof err;
+      if (getsockopt(fd, SOL_SOCKET, SO_ERROR, &err, &len) == 0 && !err)
+        rc = 0;
+      else
+        rc = -1;
+    } else {
+      rc = -1; /* timeout or poll error */
+    }
+  }
+  if (rc != 0) { close(fd); return -1; }
+  return fd;
+}
+
 static int connect_to(const char *host, const char *port) {
   struct addrinfo hints, *res, *ai;
   memset(&hints, 0, sizeof hints);
@@ -174,13 +213,9 @@ static int connect_to(const char *host, const char *port) {
     return -1;
   }
   int fd = -1;
-  for (ai = res; ai; ai = ai->ai_next) {
-    fd = socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);
-    if (fd < 0) continue;
-    if (connect(fd, ai->ai_addr, ai->ai_addrlen) == 0) break;
-    close(fd);
-    fd = -1;
-  }
+  int tmo = timeout_ms();
+  for (ai = res; ai; ai = ai->ai_next)
+    if ((fd = connect_one(ai, tmo)) >= 0) break;
   freeaddrinfo(res);
   if (fd < 0) {
     fprintf(stderr, "bvsp_client: cannot connect to %s:%s\n", host, port);
@@ -233,7 +268,7 @@ int main(int argc, char **argv) {
   if (fcntl(sock, F_SETFL, O_NONBLOCK) < 0) { perror("fcntl"); return 1; }
 
   int stdin_open = 1, close_sent = 0, opened = 0;
-  int exit_code = 0;
+  const int tmo = timeout_ms();
 
   for (;;) {
     struct pollfd fds[2];
@@ -251,9 +286,16 @@ int main(int argc, char **argv) {
       fds[nfds].events = POLLIN;
       ++nfds;
     }
-    if (poll(fds, (nfds_t)nfds, -1) < 0) {
+    int nev = poll(fds, (nfds_t)nfds, tmo);
+    if (nev < 0) {
       if (errno == EINTR) continue;
       perror("poll");
+      return 3;
+    }
+    if (nev == 0) {
+      fprintf(stderr,
+              "bvsp_client: no server activity for %d s, giving up\n",
+              tmo / 1000);
       return 3;
     }
 
@@ -274,13 +316,14 @@ int main(int argc, char **argv) {
     /* ---- socket readable: parse frames ---- */
     if (fds[sock_idx].revents & (POLLIN | POLLHUP | POLLERR)) {
       uint8_t tmp[65536];
-      int eof = 0;
+      int eof = 0, recv_err = 0;
       for (;;) {
         ssize_t r = recv(sock, tmp, sizeof tmp, 0);
         if (r > 0) { buf_push(&inq, tmp, (size_t)r); continue; }
         if (r == 0) { eof = 1; break; }
         if (errno == EAGAIN || errno == EWOULDBLOCK) break;
         if (errno == EINTR) continue;
+        recv_err = errno;
         eof = 1;
         break;
       }
@@ -338,8 +381,22 @@ int main(int argc, char **argv) {
         buf_consume(&inq, HDR_SIZE + (size_t)len);
       }
       if (eof) {
+        /* a close is clean ONLY at a frame boundary, after our CLOSE was
+           sent and fully flushed — anything else means the server reset,
+           stalled out, or quit early, and the output is truncated */
+        if (recv_err) {
+          fprintf(stderr, "bvsp_client: connection error: %s\n",
+                  strerror(recv_err));
+          return 3;
+        }
         if (inq.len) {
           fprintf(stderr, "bvsp_client: connection closed mid-message\n");
+          return 3;
+        }
+        if (!close_sent || outq.len) {
+          fprintf(stderr,
+                  "bvsp_client: server closed before the stream finished "
+                  "(output may be truncated)\n");
           return 3;
         }
         break; /* clean end of stream */
@@ -413,5 +470,5 @@ int main(int argc, char **argv) {
   free(outq.data);
   free(inq.data);
   free(stdin_buf.data);
-  return exit_code;
+  return 0;
 }

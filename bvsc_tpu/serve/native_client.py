@@ -45,10 +45,15 @@ def client_binary() -> str:
     if not os.path.exists(exe_path):
         with tempfile.NamedTemporaryFile(dir=_CACHE_DIR, delete=False) as tmp:
             try:
-                proc = subprocess.run(
-                    ["cc", "-O2", "-o", tmp.name, _SRC],
-                    capture_output=True,
-                )
+                try:
+                    proc = subprocess.run(
+                        ["cc", "-O2", "-o", tmp.name, _SRC],
+                        capture_output=True,
+                    )
+                except FileNotFoundError as e:
+                    raise RuntimeError(
+                        "no C toolchain: 'cc' not found on PATH"
+                    ) from e
                 if proc.returncode:
                     raise RuntimeError(
                         "bvsp_client build failed:\n"

@@ -61,13 +61,10 @@ def parse_args(argv=None):
 
 
 def spearman(a, b) -> float:
-    """Spearman rank correlation (ties by average rank)."""
-    from scipy.stats import rankdata
+    """Spearman rank correlation."""
+    from scipy.stats import spearmanr
 
-    ra, rb = rankdata(a), rankdata(b)
-    ra, rb = ra - ra.mean(), rb - rb.mean()
-    denom = np.sqrt((ra ** 2).sum() * (rb ** 2).sum())
-    return float((ra * rb).sum() / denom) if denom else 0.0
+    return float(spearmanr(a, b).statistic)
 
 
 def main(argv=None):

@@ -18,8 +18,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -58,6 +56,18 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     _cli_common.setup_runtime(args)
 
+    # Service managers stop with SIGTERM.  Install the handler BEFORE the
+    # model build: a start-timeout during the (possibly ~45 min cold) TPU
+    # compile must not fall on the default die-immediately disposition —
+    # killing mid-compile wedges the remote device lease (CLAUDE.md).  The
+    # handler only sets a flag; the serve loop honors it between ticks, and
+    # a SIGTERM that lands during startup exits cleanly right after it.
+    import signal
+    import threading
+
+    stop = threading.Event()
+    signal.signal(signal.SIGTERM, lambda signum, frame: stop.set())
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
@@ -84,18 +94,10 @@ def main(argv=None) -> None:
     print(f"BVSP/1 serving on {args.host}:{daemon.port} "
           f"({daemon._eng.B} stream slots"
           f"{', AOT bundle' if args.bundle else ''})", flush=True)
-    # service managers stop with SIGTERM: convert to SystemExit so the
-    # finally block drains and closes cleanly instead of dying mid-tick
-    import signal
-
-    def _term(signum, frame):
-        raise SystemExit(0)
-
-    signal.signal(signal.SIGTERM, _term)
     try:
-        while True:
-            time.sleep(3600)
-    except (KeyboardInterrupt, SystemExit):
+        while not stop.wait(1.0):
+            pass
+    except KeyboardInterrupt:
         pass
     finally:
         daemon.close()

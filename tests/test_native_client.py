@@ -130,6 +130,90 @@ def test_decode_with_plc_equals_python_client(codec, daemon, rng):
     np.testing.assert_array_equal(out, ref)
 
 
+def _fake_server(behavior):
+    """One-connection fake BVSP server; returns (port, thread)."""
+    import socket as _socket
+    import threading
+
+    srv = _socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def run():
+        conn, _ = srv.accept()
+        with conn:
+            behavior(conn)
+        srv.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return port, t
+
+
+def test_premature_server_close_is_not_success(rng):
+    """A server that answers OPENED then closes mid-stream must NOT yield
+    exit 0 — truncated output would otherwise look like success."""
+    def behavior(conn):
+        P.read_msg(conn)  # HELLO
+        P.write_msg(conn, P.MSG_OPENED, P.pack_opened(0, 12, 16))
+        # half an AUDIO_OUT frame, then vanish
+        conn.sendall(struct.pack("<BI", P.MSG_AUDIO_OUT, 64))
+        conn.sendall(b"\x00" * 8)
+
+    port, t = _fake_server(behavior)
+    x = np.zeros(256, np.float32)
+    proc = run_native_client("127.0.0.1", port, "resynth", 600,
+                             x.tobytes(), timeout=60)
+    t.join(timeout=10)
+    assert proc.returncode == 3
+    assert (b"mid-message" in proc.stderr
+            or b"before the stream" in proc.stderr
+            or b"connection error" in proc.stderr)
+
+
+def test_clean_close_without_our_close_is_error():
+    """Early clean FIN (before the client's input was consumed/CLOSEd)
+    exits 3 with a truncation warning."""
+    def behavior(conn):
+        P.read_msg(conn)  # HELLO
+        P.write_msg(conn, P.MSG_OPENED, P.pack_opened(0, 12, 16))
+        # close immediately: the client still has audio queued + no CLOSE ack
+
+    port, t = _fake_server(behavior)
+    x = np.zeros(1 << 16, np.float32)
+    proc = run_native_client("127.0.0.1", port, "resynth", 600,
+                             x.tobytes(), timeout=60)
+    t.join(timeout=10)
+    assert proc.returncode == 3
+    # clean FIN -> truncation message; an RST from writing into the closed
+    # socket surfaces as a connection error instead — both are failures
+    assert (b"before the stream finished" in proc.stderr
+            or b"connection error" in proc.stderr)
+
+
+def test_stalled_server_times_out():
+    """BVSP_TIMEOUT bounds a wedged server: no activity -> exit 3."""
+    import os
+    import subprocess
+
+    def behavior(conn):
+        import time
+
+        P.read_msg(conn)  # HELLO
+        P.write_msg(conn, P.MSG_OPENED, P.pack_opened(0, 12, 16))
+        time.sleep(8)  # stall well past the client timeout
+
+    port, t = _fake_server(behavior)
+    env = dict(os.environ, BVSP_TIMEOUT="1")
+    proc = subprocess.run(
+        [client_binary(), "127.0.0.1", str(port), "resynth", "600"],
+        input=b"", capture_output=True, timeout=60, env=env,
+    )
+    assert proc.returncode == 3
+    assert b"no server activity" in proc.stderr
+
+
 def test_server_error_surfaces_as_exit_2(codec, daemon):
     proc = run_native_client("127.0.0.1", daemon.port, "resynth", -5.0,
                              b"", timeout=60)
