@@ -233,6 +233,18 @@ class CodecDaemon:
             raise P.ProtocolError(
                 f"bitrate {bitrate!r} -> {bits!r} bits/frame out of range"
             )
+        conf = self.codec.conf
+        if not conf.var_bit and int(round(bits)) != conf.z_dim:
+            # a fixed-bitrate model (var_bit=false) emits z_dim informative
+            # bits every frame regardless of the request; packing fewer on
+            # the wire would silently corrupt the decode (the model was
+            # never trained with midpoint-masked bits)
+            full = conf.z_dim * conf.fs / conf.hopsize
+            raise P.ProtocolError(
+                f"fixed-bitrate codec: the wire carries exactly "
+                f"{conf.z_dim} bits/frame (= {full:.0f} bps), "
+                f"got {bitrate!r}"
+            )
         return bitrate
 
     def _handshake(self, conn: _Conn) -> None:

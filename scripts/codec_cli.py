@@ -172,6 +172,18 @@ def main(argv=None):
             wav = scipy.signal.resample_poly(
                 wav.astype(np.float64), fs, fs_in
             ).astype(np.float32)
+        if not codec.conf.var_bit:
+            # a fixed-bitrate model emits z_dim informative bits per frame
+            # no matter what was requested; writing fewer into the file
+            # would silently corrupt the decode
+            full = codec.conf.z_dim * codec.conf.fs / codec.conf.hopsize
+            k = int(round(codec.conf.bits_per_frame(args.bitrate)))
+            if k != codec.conf.z_dim:
+                raise SystemExit(
+                    f"fixed-bitrate config: only --bitrate {full:.0f} "
+                    f"(= {codec.conf.z_dim} bits/frame) is valid, "
+                    f"got {args.bitrate}"
+                )
         codes = np.asarray(codec.encode(wav[None, :], args.bitrate))[0]
         write_bvsc(args.output, codes, codec.conf.bits_per_frame(args.bitrate),
                    fs, coder=coder_factory() if args.entropy else None)

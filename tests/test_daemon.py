@@ -71,6 +71,24 @@ def solo_decode_run(codec, frames):
     return np.concatenate(ws)
 
 
+def test_fixed_bitrate_codec_rejects_partial_allocation():
+    """var_bit=false models emit z_dim informative bits per frame; the
+    daemon must reject wire allocations that would truncate them (silent
+    decode corruption), and accept exactly the full rate."""
+    import dataclasses
+
+    conf = dataclasses.replace(small_conf(), var_bit=False)
+    codec = BVRNNCodecModel(config=conf, seed=3, length_bucket=16)
+    full_bps = conf.z_dim * conf.fs / conf.hopsize
+    with CodecDaemon(codec, port=0, max_streams=2) as d:
+        with pytest.raises(ServerError, match="fixed-bitrate"):
+            CodecClient("127.0.0.1", d.port, mode="encode", bitrate=600,
+                        timeout=300)
+        with CodecClient("127.0.0.1", d.port, mode="encode",
+                         bitrate=full_bps, timeout=300) as c:
+            assert c.z_dim == conf.z_dim
+
+
 def test_resynth_roundtrip_matches_engine(codec, daemon, rng):
     x = (rng.standard_normal(768 + 256 * 5) * 0.3).astype(np.float32)
     codes_ref, wav_ref = solo_engine_run(codec, x, BITRATE)
