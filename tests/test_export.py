@@ -125,6 +125,28 @@ def test_exported_quantized_codec(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_exported_fixed_bitrate_codec(tmp_path, rng):
+    """The fixed-bit family (var_bit=false) exports/reloads: codes carry
+    all z_dim bits regardless of the requested rate, equal to live."""
+    import dataclasses
+
+    conf = dataclasses.replace(small_conf(), var_bit=False)
+    f = BVRNNCodecModel(config=conf, seed=3, length_bucket=16)
+    path = str(tmp_path / "f64.bvscx")
+    export_serving_bundle(f, path, batch=1, lengths=(2048,), packet=False,
+                          platforms=("cpu",))
+    b = ServingBundle.load(path)
+    assert b.conf.var_bit is False
+    x = (rng.standard_normal((1, 2048)) * 0.3).astype(np.float32)
+    full_bps = conf.z_dim * conf.fs / conf.hopsize
+    live = np.asarray(f.encode(x, full_bps))
+    got = np.asarray(b.encode(x, full_bps))
+    np.testing.assert_array_equal(got, live)
+    # the model ignores the requested rate: no midpoints in the codes
+    assert not np.any(got == 0.5)
+
+
+@pytest.mark.slow
 def test_symbolic_batch_export(codec, tmp_path, rng):
     """batch=None exports shape-polymorphic programs: one artifact, any
     request batch size, outputs equal the live model per batch."""
