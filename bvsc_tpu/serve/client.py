@@ -36,10 +36,17 @@ class ServerError(RuntimeError):
 
 class CodecClient:
     def __init__(self, host: str, port: int, mode: str = "resynth",
-                 bitrate: float | None = 3000.0, timeout: float = 60.0):
+                 bitrate: float | None = 3000.0, timeout: float = 600.0):
         """mode: 'resynth' | 'encode' | 'decode'.  bitrate: stream bps for
         encode/resynth; for decode it is the PLC concealment allocation
-        (None = conceal with all prior bits)."""
+        (None = conceal with all prior bits).
+
+        timeout is the socket deadline for every blocking call.  The
+        default is generous because a daemon serving a LIVE codec compiles
+        its tick programs on the first frame ever processed — minutes cold
+        (the handshake completes pre-compile, so a short timeout dies in
+        the first recv while the server is healthy).  Against a bundle-
+        backed daemon (AOT ``.bvscx``) a few seconds would do."""
         if mode not in _MODES:
             raise ValueError(f"mode must be one of {sorted(_MODES)}")
         self.mode = mode

@@ -18,14 +18,18 @@ CLI: `scripts/serve_daemon.py`.
 Threading model: per-connection reader threads parse messages and enqueue
 input; ONE ticker thread owns all jax dispatch (engines are advanced and
 outputs routed under a single condition variable, so device state is never
-touched concurrently).  A client that half-closes after ``CLOSE`` still
-receives everything its queued input produces before the server closes the
-socket; a client that vanishes (EOF without ``CLOSE``) has its slot freed
-immediately.
+touched concurrently); per-connection writer threads drain bounded output
+queues, so one slow-reading client can never stall the ticker or any other
+stream — a peer whose queue overflows is evicted instead.  A client that
+half-closes after ``CLOSE`` still receives everything its queued input
+produces (including the one-shot-equivalent flush tail) before the server
+closes the socket; a client that vanishes (EOF without ``CLOSE``) has its
+slot freed immediately.
 """
 
 from __future__ import annotations
 
+import collections
 import logging
 import socket
 import threading
@@ -33,29 +37,111 @@ import threading
 import numpy as np
 
 from bvsc_tpu.serve import protocol as P
-from bvsc_tpu.serve.engine import DecodeEngine, ServingEngine
+from bvsc_tpu.serve.engine import DecodeEngine, EngineStateLost, ServingEngine
 
 log = logging.getLogger("bvsc_tpu.serve.daemon")
 
 
 class _Conn:
-    """Per-connection state (owned by the daemon lock after HELLO)."""
+    """Per-connection state (owned by the daemon lock after HELLO).
 
-    def __init__(self, sock: socket.socket):
+    Output goes through a bounded queue drained by a dedicated writer
+    thread: the ticker (the one thread every stream depends on) only ever
+    does O(1) non-blocking ``enqueue`` calls — a stalled reader blocks its
+    own writer thread, never the tick.
+    """
+
+    def __init__(self, sock: socket.socket, outq_limit: int):
         self.sock = sock
-        self.send_lock = threading.Lock()
+        self.send_lock = threading.Lock()  # serializes raw socket writes
         self.mode: int | None = None
         self.sid: int | None = None
         self.closing = False  # CLOSE received: drain queued input, then FIN
-        self.dead = False  # slot freed / socket being torn down
+        self.dead = False  # slot freed; no more routing to this conn
+        self._outq: collections.deque[tuple[int, bytes]] = collections.deque()
+        self._out_bytes = 0
+        self._outq_limit = outq_limit
+        self._out_cond = threading.Condition()
+        self._fin = False  # flush the queue, then close the socket
+        self._sock_done = False  # socket shut down (close owned by writer)
+        self._writer: threading.Thread | None = None
 
     def send(self, msg_type: int, payload: bytes = b"") -> bool:
+        """Direct blocking send (handshake + error paths; bounded by the
+        socket's SO_SNDTIMEO once set)."""
         try:
             with self.send_lock:
                 P.write_msg(self.sock, msg_type, payload)
             return True
         except OSError:
             return False
+
+    # -- writer-thread output path ------------------------------------------
+
+    def enqueue(self, msg_type: int, payload: bytes = b"") -> bool:
+        """O(1), non-blocking: queue a message for the writer thread.
+        False when the connection is finished or the peer reads too slowly
+        (bounded queue) — the caller should evict it."""
+        with self._out_cond:
+            if self._fin or self._sock_done:
+                return False
+            if self._out_bytes + len(payload) > self._outq_limit:
+                return False
+            self._outq.append((msg_type, payload))
+            self._out_bytes += len(payload) + 5  # + frame header
+            self._out_cond.notify()
+        return True
+
+    def start_writer(self, name: str) -> None:
+        self._writer = threading.Thread(
+            target=self._writer_loop, name=name, daemon=True
+        )
+        self._writer.start()
+
+    def _writer_loop(self) -> None:
+        while True:
+            with self._out_cond:
+                while not self._outq and not self._fin and not self._sock_done:
+                    self._out_cond.wait(timeout=0.5)
+                if self._sock_done:
+                    return
+                if not self._outq:  # fin and fully flushed: FIN the peer
+                    self._shutdown_sock()
+                    return
+                msg_type, payload = self._outq.popleft()
+                self._out_bytes -= len(payload) + 5
+            if not self.send(msg_type, payload):
+                with self._out_cond:
+                    self._shutdown_sock()
+                return
+
+    def finish(self) -> None:
+        """Graceful: writer flushes queued output, then closes the socket."""
+        with self._out_cond:
+            self._fin = True
+            self._out_cond.notify()
+            if self._writer is None:
+                self._shutdown_sock()
+
+    def abort(self) -> None:
+        """Immediate: drop queued output and shut the socket down (unblocks
+        a writer stuck in sendall and the reader's recv)."""
+        with self._out_cond:
+            self._outq.clear()
+            self._out_bytes = 0
+            self._shutdown_sock()
+            self._out_cond.notify()
+
+    def _shutdown_sock(self) -> None:
+        """Caller holds _out_cond.  Idempotent."""
+        if self._sock_done:
+            return
+        self._sock_done = True
+        try:
+            self.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        self.sock.close()
 
 
 class CodecDaemon:
@@ -69,7 +155,10 @@ class CodecDaemon:
 
     def __init__(self, codec, host: str = "127.0.0.1", port: int = 0,
                  max_streams: int | None = None, mesh=None,
-                 handshake_timeout: float = 30.0, send_timeout: float = 15.0):
+                 handshake_timeout: float = 30.0, send_timeout: float = 15.0,
+                 send_queue_bytes: int = 32 << 20,
+                 max_buffered_seconds: float = 600.0,
+                 sndbuf: int | None = None):
         """``codec`` may be a live :class:`bvsc_tpu.codec.BVRNNCodecModel`
         or an AOT :class:`bvsc_tpu.serve.export.ServingBundle` exported with
         ``engine_batch=N`` — the daemon then serves entirely from the
@@ -78,10 +167,20 @@ class CodecDaemon:
         ``max_streams`` defaults to 128.
 
         handshake_timeout bounds how long an accepted connection may take
-        to complete HELLO (before it owns a slot); send_timeout bounds a
-        single send to a slow-reading client (kernel SO_SNDTIMEO — a client
-        that stops reading is torn down instead of stalling the ticker and
-        every other stream behind it)."""
+        to complete HELLO (before it owns a slot).  send_timeout bounds a
+        single socket send (kernel SO_SNDTIMEO) — a dead peer with a full
+        TCP window fails its writer thread instead of wedging it.
+        send_queue_bytes bounds each connection's outbound queue: a client
+        that reads slower than its stream produces is evicted when the
+        queue overflows (backpressure), never stalling the shared ticker.
+        max_buffered_seconds bounds each stream's not-yet-processed INPUT
+        backlog (audio seconds, or the equivalent frame count for decode
+        streams); input beyond it is a protocol error — it protects the
+        host against unbounded buffering, so batch clients feeding whole
+        files should stay under it or pace their sends.
+        sndbuf, if set, caps each connection's kernel send buffer
+        (SO_SNDBUF) so per-connection kernel memory is bounded too; the
+        default leaves the system's TCP autotuning in charge."""
         from bvsc_tpu.serve.export import (
             BundleDecodeEngine, BundleServingEngine, ServingBundle,
         )
@@ -90,6 +189,14 @@ class CodecDaemon:
         self._host, self._requested_port = host, port
         self._handshake_timeout = handshake_timeout
         self._send_timeout = send_timeout
+        self._send_queue_bytes = send_queue_bytes
+        self._sndbuf = sndbuf
+        self._max_buffered_samples = int(
+            max_buffered_seconds * codec.conf.fs
+        )
+        self._max_buffered_frames = max(
+            1, self._max_buffered_samples // codec.conf.hopsize
+        )
         self._cond = threading.Condition()
         # both engines exist up front: construction is cheap (zeros); the
         # tick programs compile / deserialize on first use per engine
@@ -172,6 +279,9 @@ class CodecDaemon:
             sock.settimeout(self._handshake_timeout)
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             sock.setsockopt(socket.SOL_SOCKET, socket.SO_KEEPALIVE, 1)
+            if self._sndbuf is not None:
+                sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
+                                self._sndbuf)
             t = threading.Thread(
                 target=self._reader, args=(sock,),
                 name=f"bvsp-conn-{addr[1]}", daemon=True,
@@ -179,7 +289,7 @@ class CodecDaemon:
             t.start()
 
     def _reader(self, sock: socket.socket) -> None:
-        conn = _Conn(sock)
+        conn = _Conn(sock, self._send_queue_bytes)
         with self._cond:
             if self._shutdown:
                 sock.close()
@@ -188,8 +298,8 @@ class CodecDaemon:
         try:
             self._handshake(conn)
             # slot owned: lift the handshake deadline (blocking reads; dead
-            # peers are reclaimed by TCP keepalive) and bound sends at the
-            # kernel so one slow reader cannot stall the shared ticker
+            # peers are reclaimed by TCP keepalive) and bound single sends
+            # at the kernel so a dead peer fails its writer thread promptly
             sock.settimeout(None)
             import struct as _struct
 
@@ -197,6 +307,7 @@ class CodecDaemon:
             usec = int((self._send_timeout - sec) * 1e6)
             sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDTIMEO,
                             _struct.pack("ll", sec, usec))
+            conn.start_writer(f"bvsp-write-{conn.sid}")
             while True:
                 msg = P.read_msg(sock)
                 if msg is None:  # EOF
@@ -209,6 +320,10 @@ class CodecDaemon:
                 if msg_type == P.MSG_CLOSE:
                     with self._cond:
                         conn.closing = True
+                        if conn.mode != P.MODE_DECODE and not conn.dead:
+                            # one-shot-equivalent tail: drain through the
+                            # right reflect padding (engine.begin_flush)
+                            self._eng.begin_flush(conn.sid)
                         self._cond.notify_all()
                     # keep the socket open for the drain; stop reading
                     return
@@ -273,12 +388,27 @@ class CodecDaemon:
         conn.send(P.MSG_OPENED, P.pack_opened(conn.sid, conf.z_dim, conf.hopsize))
 
     def _dispatch(self, conn: _Conn, msg_type: int, payload: bytes) -> None:
+        conf = self.codec.conf
         if conn.mode == P.MODE_DECODE:
             if msg_type == P.MSG_CODES:
-                codes, _bits = P.unpack_codes_msg(payload, self.codec.conf.z_dim)
+                codes, bits = P.unpack_codes_msg(payload, conf.z_dim)
+                if not conf.var_bit and bits != conf.z_dim:
+                    # same guard as _check_bitrate, at the decode-path wire
+                    # boundary: a fixed-bitrate model was never trained with
+                    # midpoint-masked bits — fewer than z_dim on the wire
+                    # silently corrupts the decode
+                    raise P.ProtocolError(
+                        f"fixed-bitrate codec: CODES must carry exactly "
+                        f"{conf.z_dim} bits/frame, got {bits}"
+                    )
                 with self._cond:
                     if conn.dead:
                         return
+                    if (self._dec.queued(conn.sid) + codes.shape[0]
+                            > self._max_buffered_frames):
+                        raise P.ProtocolError(
+                            "input backlog exceeds max_buffered_seconds"
+                        )
                     self._dec.push(conn.sid, codes)
                     self._cond.notify_all()
             elif msg_type == P.MSG_LOST:
@@ -286,6 +416,11 @@ class CodecDaemon:
                 with self._cond:
                     if conn.dead:
                         return
+                    if (self._dec.queued(conn.sid) + n
+                            > self._max_buffered_frames):
+                        raise P.ProtocolError(
+                            "input backlog exceeds max_buffered_seconds"
+                        )
                     self._dec.push_lost(conn.sid, n)
                     self._cond.notify_all()
             else:
@@ -298,6 +433,11 @@ class CodecDaemon:
                 with self._cond:
                     if conn.dead:
                         return
+                    if (self._eng.queued(conn.sid) + samples.size
+                            > self._max_buffered_samples):
+                        raise P.ProtocolError(
+                            "input backlog exceeds max_buffered_seconds"
+                        )
                     self._eng.push(conn.sid, samples)
                     self._cond.notify_all()
             elif msg_type == P.MSG_SET_BITRATE:
@@ -335,51 +475,88 @@ class CodecDaemon:
                 time.sleep(0.1)
 
     def _tick_once(self) -> bool:
-        """One wait+tick+route cycle; True when shutting down."""
+        """One wait+tick+route cycle; True when shutting down.
+
+        Routing is O(1) non-blocking enqueues to per-connection writer
+        threads — the ticker never touches a socket, so a stalled reader
+        cannot delay any other stream's tick."""
         with self._cond:
             while not self._shutdown and not self._has_work():
                 self._finish_drained()
                 self._cond.wait(timeout=0.2)
             if self._shutdown:
                 return True
-            enc_out = self._eng.tick()
-            dec_out = self._dec.tick()
-            routes = []  # (conn, msg_type, payload) — send outside the lock
+            try:
+                enc_out = self._eng.tick()
+            except EngineStateLost:
+                log.exception("serving-engine device state lost")
+                self._fail_slots("e")
+                enc_out = {}
+            try:
+                dec_out = self._dec.tick()
+            except EngineStateLost:
+                log.exception("decode-engine device state lost")
+                self._fail_slots("d")
+                dec_out = {}
             for sid, (codes, wav) in enc_out.items():
                 conn = self._by_slot.get(("e", sid))
                 if conn is None or conn.dead:
                     continue
                 if conn.mode == P.MODE_ENCODE:
                     bits = int(np.ceil(self._eng.bits[sid]))
-                    routes.append((conn, P.MSG_CODES_OUT,
-                                   P.pack_codes_msg(codes[None, :], bits)))
+                    ok = conn.enqueue(P.MSG_CODES_OUT,
+                                      P.pack_codes_msg(codes[None, :], bits))
                 else:
-                    routes.append((conn, P.MSG_AUDIO_OUT, P.pack_audio(wav)))
+                    ok = conn.enqueue(P.MSG_AUDIO_OUT, P.pack_audio(wav))
+                if not ok:
+                    log.warning("slot e%d: send queue overflow — evicting "
+                                "slow reader", sid)
+                    self._teardown(conn)
             for sid, wav in dec_out.items():
                 conn = self._by_slot.get(("d", sid))
                 if conn is None or conn.dead:
                     continue
-                routes.append((conn, P.MSG_AUDIO_OUT, P.pack_audio(wav)))
-        for conn, msg_type, payload in routes:
-            if not conn.send(msg_type, payload):
-                with self._cond:
+                if not conn.enqueue(P.MSG_AUDIO_OUT, P.pack_audio(wav)):
+                    log.warning("slot d%d: send queue overflow — evicting "
+                                "slow reader", sid)
                     self._teardown(conn)
-        with self._cond:
-            # only after this tick's outputs are sent: FIN any stream
-            # that has now drained (else its final frame would be lost)
+            # after this tick's outputs are enqueued: FIN any stream that
+            # has now drained (the writer flushes before closing, so the
+            # final frame is never lost)
             self._finish_drained()
         return False
 
+    def _fail_slots(self, kind: str) -> None:
+        """A tick failed and the engine rebuilt zeroed device state: every
+        stream on that engine lost its hidden state mid-stream — notify and
+        release them all (clients reconnect for fresh state).  Caller holds
+        the lock."""
+        for (k, sid), conn in list(self._by_slot.items()):
+            if k != kind or conn.dead:
+                continue
+            conn.enqueue(
+                P.MSG_ERROR,
+                b"engine device state lost; stream reset - reconnect",
+            )
+            self._release(conn, graceful=True)
+
     def _finish_drained(self) -> None:
         """FIN connections that sent CLOSE and have no input left (caller
-        holds the lock)."""
+        holds the lock).  Graceful: the slot is freed now, but the socket
+        closes only after the writer thread has flushed the queued tail."""
         for conn in [c for c in self._conns if c.closing and not c.dead]:
             eng = self._dec if conn.mode == P.MODE_DECODE else self._eng
             if not eng.has_frame(conn.sid):
-                self._teardown(conn)
+                self._release(conn, graceful=True)
 
     def _teardown(self, conn: _Conn) -> None:
-        """Free the slot and close the socket (caller holds the lock)."""
+        """Free the slot and close the socket immediately, dropping any
+        queued output (error/eviction paths; caller holds the lock)."""
+        self._release(conn, graceful=False)
+
+    def _release(self, conn: _Conn, graceful: bool) -> None:
+        """Free the slot; graceful=True flushes queued output before the
+        socket closes, False aborts it now (caller holds the lock)."""
         if conn.dead:
             return
         conn.dead = True
@@ -391,8 +568,7 @@ class CodecDaemon:
                 self._eng.close_stream(conn.sid)
                 self._by_slot.pop(("e", conn.sid), None)
         self._conns.discard(conn)
-        try:
-            conn.sock.shutdown(socket.SHUT_RDWR)
-        except OSError:
-            pass
-        conn.sock.close()
+        if graceful:
+            conn.finish()
+        else:
+            conn.abort()

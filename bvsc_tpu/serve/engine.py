@@ -26,8 +26,8 @@ dedicated ``StreamingCodec`` (tested).
 
 from __future__ import annotations
 
+import collections
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,61 @@ from bvsc_tpu.models import bvrnn as bvrnn_mod
 from bvsc_tpu.ops.mel import dynamic_range_compression
 from bvsc_tpu.streaming import generator_stream_init, generator_stream_step
 
+
+class EngineStateLost(RuntimeError):
+    """A tick failed after its donated device state was consumed.
+
+    The tick programs donate the state pytree (``donate_argnums``), so an
+    exception mid-dispatch can leave ``self.state`` referencing deleted
+    buffers — retrying would then fail forever ("Array has been deleted"),
+    a permanent livelock.  The engine rebuilds zeroed device state before
+    raising this, so the engine object stays usable, but every stream's
+    hidden state is gone: callers must close (and clients reopen) all
+    active streams.  The BVSP daemon does exactly that.
+    """
+
+
+class _SampleQueue:
+    """Chunked FIFO of float32 samples: O(1) amortized push/pop.
+
+    A flat ``np.concatenate`` queue re-copies the entire backlog on every
+    push — a client that sends a long recording up front (the documented
+    send-then-CLOSE pattern) would make that O(n²) while holding the
+    daemon's lock.  Chunks are only touched when popped.
+    """
+
+    __slots__ = ("_chunks", "_off", "_len")
+
+    def __init__(self):
+        self._chunks: collections.deque[np.ndarray] = collections.deque()
+        self._off = 0  # consumed samples of the head chunk
+        self._len = 0
+
+    def __len__(self) -> int:
+        return self._len
+
+    def push(self, samples: np.ndarray) -> None:
+        x = np.asarray(samples, np.float32).reshape(-1)
+        if x.size:
+            self._chunks.append(x)
+            self._len += x.size
+
+    def pop(self, n: int) -> np.ndarray:
+        if n > self._len:
+            raise ValueError(f"pop({n}) from a {self._len}-sample queue")
+        out = np.empty(n, np.float32)
+        got = 0
+        while got < n:
+            head = self._chunks[0]
+            take = min(head.size - self._off, n - got)
+            out[got : got + take] = head[self._off : self._off + take]
+            got += take
+            self._off += take
+            if self._off == head.size:
+                self._chunks.popleft()
+                self._off = 0
+        self._len -= n
+        return out
 
 
 def _fused_tick_impl(
@@ -125,24 +180,43 @@ class ServingEngine:
                 raise ValueError("max_streams must divide evenly over the mesh")
             self._batch_sharding = batch_sharded(mesh)
 
-        self.state = self._put(
-            {
-                "window": jnp.zeros((self.B, self.win), jnp.float32),
-                "h": jnp.zeros((self.B, conf.h_dim), dtype),
-                "voc": generator_stream_init(conf.vocoder_config, self.B, dtype),
-            }
-        )
-        self.bits = np.zeros(self.B, np.float32)
-
-        self._free = list(range(max_streams))
-        self._active = np.zeros(self.B, bool)
-        self._started = np.zeros(self.B, bool)
-        # per-slot host input queues (device state holds everything else)
-        self._inq = [np.zeros(0, np.float32) for _ in range(self.B)]
+        self._h_dim = conf.h_dim
+        self._state_dtype = dtype
+        self.state = self._init_device_state()
+        self._init_host_slots()
 
         self._frontend = codec.frontend
         self._bcfg = codec.bvrnn_cfg
         self._vcfg = conf.vocoder_config
+
+    def _init_device_state(self):
+        """Fresh zeroed device state (also the recovery path after
+        :class:`EngineStateLost`; the bundle-backed engine overrides this
+        with its exported init program)."""
+        return self._put(
+            {
+                "window": jnp.zeros((self.B, self.win), jnp.float32),
+                "h": jnp.zeros((self.B, self._h_dim), self._state_dtype),
+                "voc": generator_stream_init(
+                    self.codec.conf.vocoder_config, self.B, self._state_dtype
+                ),
+            }
+        )
+
+    def _init_host_slots(self) -> None:
+        """Host-side per-slot bookkeeping (shared with the bundle-backed
+        engine, whose ``__init__`` has no live codec)."""
+        self.bits = np.zeros(self.B, np.float32)
+        self._free = list(range(self.B))
+        self._active = np.zeros(self.B, bool)
+        self._started = np.zeros(self.B, bool)
+        # per-slot host input queues (device state holds everything else)
+        self._inq = [_SampleQueue() for _ in range(self.B)]
+        # last pad_right+1 raw input samples per slot — the reflect source
+        # for the one-shot-equivalent tail at begin_flush (mirrors
+        # streaming.FusedPacketCodec._tail)
+        self._tail = [np.zeros(0, np.float32) for _ in range(self.B)]
+        self._flushing = np.zeros(self.B, bool)
 
     def _tick_call(self, state, chunk, bits, active):
         """The one fused device program per tick (overridden by the AOT
@@ -168,7 +242,9 @@ class ServingEngine:
         sid = self._free.pop(0)
         self._active[sid] = True
         self._started[sid] = False
-        self._inq[sid] = np.zeros(0, np.float32)
+        self._inq[sid] = _SampleQueue()
+        self._tail[sid] = np.zeros(0, np.float32)
+        self._flushing[sid] = False
         self.bits[sid] = self.codec.bits_per_frame(bitrate)
         # zero the slot's device state rows
         self.state = self._put(
@@ -186,9 +262,46 @@ class ServingEngine:
         self.bits[sid] = self.codec.bits_per_frame(bitrate)
 
     def push(self, sid: int, samples: np.ndarray) -> None:
-        self._inq[sid] = np.concatenate(
-            [self._inq[sid], np.asarray(samples, np.float32)]
-        )
+        if self._flushing[sid]:
+            raise ValueError("stream is flushing (begin_flush); no more input")
+        x = np.asarray(samples, np.float32).reshape(-1)
+        pad_right = self.win - self.pad_left - self.hop
+        self._tail[sid] = np.concatenate([self._tail[sid], x])[
+            -(pad_right + 1) :
+        ]
+        self._inq[sid].push(x)
+
+    def queued(self, sid: int) -> int:
+        """Samples buffered but not yet consumed (host-side backlog)."""
+        return len(self._inq[sid])
+
+    def begin_flush(self, sid: int) -> bool:
+        """End of input: append the one-shot right reflect padding so the
+        remaining queue drains to the exact one-shot frame count — two
+        further output frames past the last full real-input frame, as in
+        ``streaming.FusedPacketCodec.flush`` (one-shot right padding:
+        reference ``meldataset.py:72-81``).  No suppression bookkeeping is
+        needed: for input length L the queue then holds exactly
+        ``L + pad_right`` samples, and since the first tick consumes
+        ``hop + pad_right`` the drained frame count is
+        ``(L − hop)//hop + 1`` — the one-shot mel frame count — with the
+        sub-hop remainder (< hop) left unconsumed, exactly the padding
+        samples the one-shot's final window never reaches either.
+        Returns False (no-op) when the stream can never produce a first
+        frame (total input < winsize − pad_left): it then drains to
+        nothing, like a one-shot call on an input too short to frame.
+        """
+        if self._flushing[sid]:
+            return True
+        if not self._started[sid] and len(self._inq[sid]) < (
+            self.win - self.pad_left
+        ):
+            return False
+        pad_right = self.win - self.pad_left - self.hop
+        ext = self._tail[sid][-pad_right - 1 : -1][::-1]
+        self._inq[sid].push(ext)
+        self._flushing[sid] = True
+        return True
 
     def has_frame(self, sid: int) -> bool:
         """Whether a tick() would advance this stream (a full frame —
@@ -196,7 +309,7 @@ class ServingEngine:
         if not self._active[sid]:
             return False
         need = (self.win - self.pad_left) if not self._started[sid] else self.hop
-        return self._inq[sid].shape[0] >= need
+        return len(self._inq[sid]) >= need
 
     # -- processing -----------------------------------------------------------
 
@@ -213,9 +326,9 @@ class ServingEngine:
             if not self._active[sid]:
                 continue
             if not self._started[sid]:
-                if self._inq[sid].shape[0] < need:
+                if len(self._inq[sid]) < need:
                     continue
-                x = self._inq[sid][:need]
+                x = self._inq[sid].pop(need)
                 pre = x[1 : self.pad_left + 1][::-1]  # reflect pre-roll
                 window0 = np.concatenate([pre, x])  # (winsize,)
                 # preload the slot's window so rolling in the final hop
@@ -225,14 +338,12 @@ class ServingEngine:
                                           window0[: -self.hop]]))
                 )
                 chunk[sid] = window0[-self.hop :]
-                self._inq[sid] = self._inq[sid][need:]
                 self._started[sid] = True
                 advanced.append(sid)
             else:
-                if self._inq[sid].shape[0] < self.hop:
+                if len(self._inq[sid]) < self.hop:
                     continue
-                chunk[sid] = self._inq[sid][: self.hop]
-                self._inq[sid] = self._inq[sid][self.hop :]
+                chunk[sid] = self._inq[sid].pop(self.hop)
                 advanced.append(sid)
 
         if not advanced:
@@ -251,9 +362,19 @@ class ServingEngine:
             if self._batch_sharding is not None
             else jnp.asarray(t)
         )
-        self.state, codes, wav = self._tick_call(
-            self.state, dev(chunk), dev(self.bits), dev(active)
-        )
+        try:
+            self.state, codes, wav = self._tick_call(
+                self.state, dev(chunk), dev(self.bits), dev(active)
+            )
+        except Exception as e:
+            # donated state may be gone — rebuild so the ENGINE survives,
+            # then tell the caller every STREAM's state is lost
+            self.state = self._init_device_state()
+            self._started[:] = False
+            raise EngineStateLost(
+                "tick failed after its donated state was consumed; device "
+                "state rebuilt — close and reopen all active streams"
+            ) from e
         codes_np = np.asarray(codes)
         wav_np = np.asarray(wav)
         return {sid: (codes_np[sid], wav_np[sid]) for sid in advanced}
@@ -317,22 +438,35 @@ class DecodeEngine:
             if self.B % mesh.size:
                 raise ValueError("max_streams must divide evenly over the mesh")
             self._batch_sharding = batch_sharded(mesh)
-        self.state = self._put(
+        self._h_dim = conf.h_dim
+        self._state_dtype = dtype
+        self.state = self._init_device_state()
+        self._init_host_slots()
+        self._bcfg = codec.bvrnn_cfg
+        self._vcfg = conf.vocoder_config
+
+    def _init_device_state(self):
+        """Fresh zeroed device state (recovery path after
+        :class:`EngineStateLost`; overridden by the bundle-backed engine)."""
+        return self._put(
             {
-                "h": jnp.zeros((self.B, conf.h_dim), dtype),
-                "voc": generator_stream_init(conf.vocoder_config, self.B, dtype),
+                "h": jnp.zeros((self.B, self._h_dim), self._state_dtype),
+                "voc": generator_stream_init(
+                    self.codec.conf.vocoder_config, self.B, self._state_dtype
+                ),
             }
         )
-        self._free = list(range(max_streams))
+
+    def _init_host_slots(self) -> None:
+        """Host-side per-slot bookkeeping (shared with the bundle engine)."""
+        self._free = list(range(self.B))
         self._active = np.zeros(self.B, bool)
         # per-slot host queues of (codes (z,), lost flag) frames
-        self._inq: list[list[tuple[np.ndarray, bool]]] = [
-            [] for _ in range(self.B)
+        self._inq: list[collections.deque] = [
+            collections.deque() for _ in range(self.B)
         ]
         # conceal_bits == z_dim is identical to "all prior bits"
         self.cbits = np.full(self.B, float(self.z_dim), np.float32)
-        self._bcfg = codec.bvrnn_cfg
-        self._vcfg = conf.vocoder_config
 
     def _tick_call(self, state, codes, lost, cbits, active):
         """One fused decode tick (overridden by the bundle-backed engine)."""
@@ -356,7 +490,7 @@ class DecodeEngine:
             raise RuntimeError("no free stream slots")
         sid = self._free.pop(0)
         self._active[sid] = True
-        self._inq[sid] = []
+        self._inq[sid] = collections.deque()
         self.cbits[sid] = (
             float(self.z_dim) if conceal_bitrate is None
             else self.codec.bits_per_frame(conceal_bitrate)
@@ -382,6 +516,10 @@ class DecodeEngine:
         for frame, flag in zip(codes, lost):
             self._inq[sid].append((frame, bool(flag)))
 
+    def queued(self, sid: int) -> int:
+        """Code frames buffered but not yet decoded (host-side backlog)."""
+        return len(self._inq[sid])
+
     def has_frame(self, sid: int) -> bool:
         """Whether a tick() would advance this stream (>=1 queued frame)."""
         return bool(self._active[sid]) and bool(self._inq[sid])
@@ -403,7 +541,7 @@ class DecodeEngine:
         codes = np.full((self.B, self.z_dim), 0.5, np.float32)
         lost = np.zeros(self.B, np.float32)
         for sid in advanced:
-            frame, flag = self._inq[sid].pop(0)
+            frame, flag = self._inq[sid].popleft()
             codes[sid] = frame
             lost[sid] = float(flag)
         active = np.zeros(self.B, bool)
@@ -413,8 +551,15 @@ class DecodeEngine:
             if self._batch_sharding is not None
             else jnp.asarray(t)
         )
-        self.state, wav = self._tick_call(
-            self.state, dev(codes), dev(lost), dev(self.cbits), dev(active)
-        )
+        try:
+            self.state, wav = self._tick_call(
+                self.state, dev(codes), dev(lost), dev(self.cbits), dev(active)
+            )
+        except Exception as e:
+            self.state = self._init_device_state()
+            raise EngineStateLost(
+                "decode tick failed after its donated state was consumed; "
+                "device state rebuilt — close and reopen all active streams"
+            ) from e
         wav_np = np.asarray(wav)
         return {sid: wav_np[sid] for sid in advanced}

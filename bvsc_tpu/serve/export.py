@@ -42,6 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bvsc_tpu.config import CodecConfig
+from bvsc_tpu.serve.engine import DecodeEngine, ServingEngine
+from bvsc_tpu.streaming import FusedPacketCodec
 
 FORMAT = "bvsc-serve-1"
 
@@ -528,13 +530,7 @@ class ServingBundle:
         return ExportedPacketDecoder(self, conceal_bitrate)
 
 
-def _packet_codec_base():
-    from bvsc_tpu.streaming import FusedPacketCodec
-
-    return FusedPacketCodec
-
-
-class ExportedPacketCodec(_packet_codec_base()):
+class ExportedPacketCodec(FusedPacketCodec):
     """Real-time packet codec running the bundle's exported step program.
 
     Reuses :class:`bvsc_tpu.streaming.FusedPacketCodec`'s host-side sample
@@ -636,16 +632,7 @@ def _require_engine_meta(bundle: ServingBundle) -> dict:
     return eng
 
 
-def _engine_base():
-    from bvsc_tpu.serve.engine import DecodeEngine, ServingEngine
-
-    return ServingEngine, DecodeEngine
-
-
-_ServingEngine, _DecodeEngine = _engine_base()
-
-
-class BundleServingEngine(_ServingEngine):
+class BundleServingEngine(ServingEngine):
     """:class:`bvsc_tpu.serve.engine.ServingEngine` semantics with every
     device program replaced by the bundle's exported ``engine_tick`` — a
     serving host runs N concurrent full-duplex streams (and the BVSP daemon
@@ -666,12 +653,12 @@ class BundleServingEngine(_ServingEngine):
         self.z_dim = conf.z_dim
         self._batch_sharding = None
         self._tick_prog = bundle._program(eng["tick"])
-        self.state = bundle._program(eng["init"]).call()
-        self.bits = np.zeros(self.B, np.float32)
-        self._free = list(range(self.B))
-        self._active = np.zeros(self.B, bool)
-        self._started = np.zeros(self.B, bool)
-        self._inq = [np.zeros(0, np.float32) for _ in range(self.B)]
+        self._init_prog = bundle._program(eng["init"])
+        self.state = self._init_device_state()
+        self._init_host_slots()
+
+    def _init_device_state(self):
+        return self._init_prog.call()
 
     def _tick_call(self, state, chunk, bits, active):
         return self._tick_prog.call(
@@ -680,7 +667,7 @@ class BundleServingEngine(_ServingEngine):
         )
 
 
-class BundleDecodeEngine(_DecodeEngine):
+class BundleDecodeEngine(DecodeEngine):
     """Decode-only counterpart of :class:`BundleServingEngine` (codes in,
     audio out, per-stream prior-based PLC) from the exported
     ``engine_decode_tick``."""
@@ -694,11 +681,12 @@ class BundleDecodeEngine(_DecodeEngine):
         self.z_dim = conf.z_dim
         self._batch_sharding = None
         self._tick_prog = bundle._program(eng["decode_tick"])
-        self.state = bundle._program(eng["decode_init"]).call()
-        self._free = list(range(self.B))
-        self._active = np.zeros(self.B, bool)
-        self._inq = [[] for _ in range(self.B)]
-        self.cbits = np.full(self.B, float(self.z_dim), np.float32)
+        self._init_prog = bundle._program(eng["decode_init"])
+        self.state = self._init_device_state()
+        self._init_host_slots()
+
+    def _init_device_state(self):
+        return self._init_prog.call()
 
     def _tick_call(self, state, codes, lost, cbits, active):
         return self._tick_prog.call(

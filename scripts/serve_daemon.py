@@ -48,6 +48,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "int8_mixed"],
                    help="weight-only int8 BVRNN scans")
+    p.add_argument("--send_queue_bytes", type=int, default=32 << 20,
+                   help="per-connection outbound queue bound; a client "
+                        "reading slower than its stream produces is "
+                        "evicted when it overflows")
+    p.add_argument("--max_buffered_seconds", type=float, default=600.0,
+                   help="per-stream unprocessed-input bound (audio "
+                        "seconds); input beyond it is a protocol error")
+    p.add_argument("--sndbuf", type=int, default=None,
+                   help="optional SO_SNDBUF cap per connection (bounds "
+                        "kernel send-buffer memory)")
     _cli_common.add_platform_arg(p)
     return p
 
@@ -89,7 +99,10 @@ def main(argv=None) -> None:
             quantize=args.quantize,
         )
     daemon = CodecDaemon(codec, host=args.host, port=args.port,
-                         max_streams=args.max_streams)
+                         max_streams=args.max_streams,
+                         send_queue_bytes=args.send_queue_bytes,
+                         max_buffered_seconds=args.max_buffered_seconds,
+                         sndbuf=args.sndbuf)
     daemon.start()
     print(f"BVSP/1 serving on {args.host}:{daemon.port} "
           f"({daemon._eng.B} stream slots"

@@ -38,10 +38,12 @@ def daemon(codec):
 
 
 def solo_engine_run(codec, x, bitrate):
-    """Direct ServingEngine single-slot run -> (codes (T,z), wav (n,))."""
+    """Direct ServingEngine single-slot run, flushed like the daemon's
+    CLOSE handling -> (codes (T,z), wav (n,))."""
     eng = ServingEngine(codec, max_streams=4)
     sid = eng.open_stream(bitrate)
     eng.push(sid, x)
+    eng.begin_flush(sid)
     cs, ws = [], []
     while True:
         out = eng.tick()
@@ -156,6 +158,7 @@ def test_mid_stream_bitrate_switch(codec, daemon, rng):
     for _ in range(3):
         cs.append(eng.tick()[sid][0])
     eng.set_bitrate(sid, 3000)
+    eng.begin_flush(sid)  # the daemon flushes on CLOSE
     while True:
         out = eng.tick()
         if sid not in out:
@@ -338,6 +341,106 @@ def test_audio_chunking_roundtrip(rng):
         [proto.unpack_audio(proto.pack_audio(c)) for c in chunks])
     np.testing.assert_array_equal(out, x)
     assert [c.size for c in proto.iter_audio_chunks(np.zeros(0))] == [0]
+
+
+def test_close_flush_matches_fused_packet_codec(codec, daemon, rng):
+    """CLOSE drains through the one-shot right reflect padding: the wire
+    output equals FusedPacketCodec process()+flush() — including the two
+    tail frames the pre-flush daemon silently truncated — even with a
+    sub-hop input remainder."""
+    from bvsc_tpu.streaming import FusedPacketCodec
+
+    L = 768 + 256 * 4 + 100  # deliberately NOT a hop multiple
+    x = (rng.standard_normal(L) * 0.3).astype(np.float32)
+
+    fpc = FusedPacketCodec(codec, batch=1, bitrate=BITRATE)
+    ref = np.concatenate([fpc.process(x[None, :]), fpc.flush()], axis=1)[0]
+
+    with CodecClient("127.0.0.1", daemon.port, mode="resynth",
+                     bitrate=BITRATE, timeout=300) as c:
+        c.send_audio(x)
+        c.close_input()
+        out = c.drain()
+    np.testing.assert_allclose(out["audio"], ref, atol=1e-5)
+
+
+def test_decode_mode_fixed_bitrate_codes_rejected():
+    """The fixed-bitrate wire guard must also hold on the decode path: a
+    CODES message carrying fewer than z_dim bits/frame would feed midpoint
+    masks to a model never trained with them."""
+    import dataclasses
+
+    conf = dataclasses.replace(small_conf(), var_bit=False)
+    codec = BVRNNCodecModel(config=conf, seed=3, length_bucket=16)
+    z = conf.z_dim
+    with CodecDaemon(codec, port=0, max_streams=2) as d:
+        with pytest.raises(ServerError, match="fixed-bitrate"):
+            with CodecClient("127.0.0.1", d.port, mode="decode",
+                             bitrate=None, timeout=300) as c:
+                c.send_codes(np.zeros((1, z), np.float32), bits=7)
+                c.drain()
+        # the full allocation still works
+        with CodecClient("127.0.0.1", d.port, mode="decode",
+                         bitrate=None, timeout=300) as c:
+            c.send_codes(np.zeros((2, z), np.float32), bits=z)
+            c.close_input()
+            out = c.drain()
+        assert out["audio"].size == 2 * conf.hopsize
+
+
+def test_slow_reader_evicted_without_stalling_others(codec, rng):
+    """A client that stops reading fills the kernel buffers, then its
+    bounded send queue, and is evicted; every other stream keeps flowing
+    meanwhile (the ticker only does non-blocking enqueues — a stalled
+    socket blocks its own writer thread, nothing else)."""
+    import time
+
+    x = (rng.standard_normal(768 + 256 * 40) * 0.3).astype(np.float32)
+    codes_ref, wav_ref = solo_engine_run(codec, x, BITRATE)
+
+    with CodecDaemon(codec, port=0, max_streams=4, send_queue_bytes=2048,
+                     send_timeout=1.0, sndbuf=4096) as d:
+        # raw stalled peer with a tiny receive buffer (set before connect),
+        # so the kernel absorbs only a few frames before backpressure hits
+        s = socket.socket()
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 2048)
+        s.settimeout(60)
+        try:
+            s.connect(("127.0.0.1", d.port))
+            P.write_msg(s, P.MSG_HELLO, P.pack_hello(P.MODE_RESYNTH, BITRATE))
+            msg = P.read_msg(s)
+            assert msg is not None and msg[0] == P.MSG_OPENED
+            P.write_msg(s, P.MSG_AUDIO, P.pack_audio(x))  # then never read
+
+            # healthy client on the same daemon completes normally while
+            # the stalled stream is wedging its own writer
+            with CodecClient("127.0.0.1", d.port, mode="resynth",
+                             bitrate=BITRATE, timeout=300) as c:
+                c.send_audio(x)
+                c.close_input()
+                out = c.drain()
+            np.testing.assert_array_equal(out["audio"], wav_ref)
+
+            # the stalled connection gets torn down (queue overflow or
+            # send-timeout) and its slot freed
+            deadline = time.time() + 120
+            while time.time() < deadline and d._by_slot:
+                time.sleep(0.05)
+            assert not d._by_slot, "slow reader was not evicted"
+        finally:
+            s.close()
+
+
+def test_input_backlog_cap_rejected(codec, rng):
+    """Unread input backlog beyond max_buffered_seconds is a protocol
+    error, not unbounded host memory."""
+    with CodecDaemon(codec, port=0, max_streams=2,
+                     max_buffered_seconds=0.05) as d:  # cap ~1102 samples
+        with pytest.raises(ServerError, match="backlog"):
+            with CodecClient("127.0.0.1", d.port, mode="resynth",
+                             bitrate=BITRATE, timeout=300) as c:
+                c.send_audio(np.zeros(4096, np.float32))
+                c.drain()
 
 
 def test_garbage_never_crashes_daemon(codec, daemon, rng):

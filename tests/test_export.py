@@ -345,6 +345,7 @@ def test_daemon_serves_from_bundle(codec, engine_bundle, rng):
     eng = ServingEngine(codec, max_streams=4)
     sid = eng.open_stream(3000)
     eng.push(sid, x)
+    eng.begin_flush(sid)  # the daemon flushes on CLOSE
     ws = []
     while True:
         out = eng.tick()

@@ -125,6 +125,116 @@ def test_engine_overflow(codec):
         eng.open_stream(3000)
 
 
+def test_sample_queue_chunked_fifo(rng):
+    """_SampleQueue is an exact FIFO across arbitrary push/pop splits."""
+    from bvsc_tpu.serve.engine import _SampleQueue
+
+    data = rng.standard_normal(10_000).astype(np.float32)
+    q = _SampleQueue()
+    i = 0
+    while i < data.size:
+        n = int(rng.integers(1, 700))
+        q.push(data[i : i + n])
+        i += n
+    q.push(np.zeros(0, np.float32))  # empty push is a no-op
+    out, j = [], 0
+    while len(q):
+        n = min(int(rng.integers(1, 900)), len(q))
+        out.append(q.pop(n))
+        j += n
+    np.testing.assert_array_equal(np.concatenate(out), data)
+    with pytest.raises(ValueError):
+        q.pop(1)
+
+
+def test_engine_flush_matches_fused_packet_codec(codec, rng):
+    """begin_flush drains the queue through the one-shot right reflect
+    padding: engine output == FusedPacketCodec process()+flush(), for both
+    a hop-multiple input and one with a sub-hop remainder."""
+    from bvsc_tpu.streaming import FusedPacketCodec
+
+    for L in (768 + 256 * 4, 768 + 256 * 3 + 100):
+        x = (rng.standard_normal(L) * 0.3).astype(np.float32)
+
+        fpc = FusedPacketCodec(codec, batch=1, bitrate=3000)
+        wav_ref = np.concatenate(
+            [fpc.process(x[None, :]), fpc.flush()], axis=1
+        )[0]
+
+        eng = ServingEngine(codec, max_streams=4)
+        sid = eng.open_stream(3000)
+        eng.push(sid, x)
+        assert eng.begin_flush(sid)
+        assert eng.begin_flush(sid)  # idempotent
+        with pytest.raises(ValueError, match="flushing"):
+            eng.push(sid, x[:10])
+        ws = []
+        while True:
+            out = eng.tick()
+            if sid not in out:
+                break
+            ws.append(out[sid][1])
+        np.testing.assert_allclose(np.concatenate(ws), wav_ref, atol=1e-5)
+
+
+def test_engine_flush_too_short_stream_is_noop(codec):
+    """A stream whose total input can never fill the first frame drains to
+    nothing (like a one-shot call on an unframeable input)."""
+    eng = ServingEngine(codec, max_streams=2)
+    sid = eng.open_stream(3000)
+    eng.push(sid, np.zeros(100, np.float32))
+    assert not eng.begin_flush(sid)
+    assert eng.tick() == {}
+
+
+def test_engine_state_lost_recovery(codec, rng):
+    """A tick that fails after donating the device state must not brick
+    the engine: it raises EngineStateLost, rebuilds zeroed state, and a
+    fresh stream then produces exactly a fresh engine's output."""
+    from bvsc_tpu.serve.engine import EngineStateLost
+
+    L = 768 + 256 * 2
+    x = (rng.standard_normal(L) * 0.3).astype(np.float32)
+    codes_ref, _ = None, None
+
+    ref = ServingEngine(codec, max_streams=4)
+    sid = ref.open_stream(3000)
+    ref.push(sid, x)
+    codes_ref = []
+    while True:
+        out = ref.tick()
+        if sid not in out:
+            break
+        codes_ref.append(out[sid][0])
+
+    eng = ServingEngine(codec, max_streams=4)
+    sid = eng.open_stream(3000)
+    eng.push(sid, x)
+    orig = eng._tick_call
+    calls = {"n": 0}
+
+    def failing(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("simulated device failure mid-dispatch")
+
+    eng._tick_call = failing
+    with pytest.raises(EngineStateLost):
+        eng.tick()
+    assert calls["n"] == 1
+    eng._tick_call = orig
+    # the engine object survives: close the lost stream, serve a new one
+    eng.close_stream(sid)
+    sid2 = eng.open_stream(3000)
+    eng.push(sid2, x)
+    codes2 = []
+    while True:
+        out = eng.tick()
+        if sid2 not in out:
+            break
+        codes2.append(out[sid2][0])
+    np.testing.assert_array_equal(np.stack(codes2), np.stack(codes_ref))
+
+
 # --- bitpack ------------------------------------------------------------------
 
 
