@@ -353,10 +353,12 @@ class BVRNNCodecModel:
         closed-loop state sync (reference ``bvrnn.py:204-206`` == ``:226-227``),
         so one program does mel -> encode scan -> vocoder with no separate
         decode scan or extra dispatch.  Codes are bit-identical to the
-        two-program path; the waveform matches
-        ``decode(encode(x, bitrate), len(x))`` to float precision (~1e-7 —
-        decode() hoists its phi_z matmul across the sequence, the fused scan
-        computes it per step; tested in test_codec/test_bvrnn).  Pass
+        two-program path, and the decoded-mel trajectory is too: every
+        decode path computes phi_z per step in the same (B, z) shape as the
+        encoder's state sync (``models.bvrnn.decode`` — a hoisted phi_z
+        would diverge chaotically on trained models), measured bitwise-equal
+        on the full-size demo checkpoint (and to ~1e-7 where XLA fuses the
+        two programs differently; tested in test_codec/test_bvrnn).  Pass
         ``fused=False`` to run the two-program composition instead."""
         length = np.asarray(x).shape[-1]
         if not fused:

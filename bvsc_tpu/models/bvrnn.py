@@ -327,11 +327,23 @@ def decode(
     """Decode codes to mel frames (reference ``bvrnn.py:211-229``).
 
     z: (B, T, z_dim); h: (B, h_dim). Returns (mel (B, T, x_dim), final h).
+
+    phi_z is computed PER STEP, not hoisted across the sequence, on purpose:
+    the decoder's hidden trajectory must stay bitwise-identical to the
+    encoder's closed-loop state sync (the per-step ``encode``/
+    ``encode_decode`` bodies and the reference's per-step decode loop,
+    reference ``bvrnn.py:222-227``).  A hoisted (B, T, z) phi_z matmul
+    reassociates differently from the per-step (B, z) one (~1e-7), and a
+    TRAINED model's closed-loop dynamics amplify that noise ~15 %/frame —
+    measured on the demo checkpoint, a hoisted decode diverged from the
+    fused resynthesis to 1.3 dB SNR within 172 frames despite bit-identical
+    codes.  Per-step phi_z keeps split encode/decode deployments (serving:
+    encode on one host, decode on another) exactly synchronized.
     """
     prec = cfg.precision
-    phi_z = phi_z_apply(params, z.astype(cfg.dtype), prec)  # hoisted
 
-    def step(h, phi_z_t):
+    def step(h, z_t):
+        phi_z_t = phi_z_apply(params, z_t, prec)
         dec_t = dec_apply(params, jnp.concatenate([phi_z_t, h], -1), prec)
         phi_x_gen = phi_x_apply(params, _normalize(params, dec_t), prec)
         h_next = gru_step(
@@ -340,7 +352,7 @@ def decode(
         return h_next, dec_t
 
     h_final, dec_seq = jax.lax.scan(
-        step, h.astype(cfg.dtype), jnp.swapaxes(phi_z, 0, 1)
+        step, h.astype(cfg.dtype), jnp.swapaxes(z.astype(cfg.dtype), 0, 1)
     )
     return jnp.swapaxes(dec_seq, 0, 1), h_final
 
@@ -395,19 +407,17 @@ def decode_plc(
         cmask = bit_mask_from_bitrate(conceal_bits, cfg.z_dim).astype(cfg.dtype)
     else:
         cmask = jnp.ones(z.shape[:2] + (cfg.z_dim,), cfg.dtype)
-    # hoist phi_z of the received codes like decode() does — received frames
-    # stay bitwise identical to a plain decode; only lost frames take the
-    # in-scan prior + phi_z path
-    phi_z = phi_z_apply(params, z, prec)  # (B, T, h)
-
+    # phi_z per step on the selected codes (received or concealed): received
+    # frames stay bitwise identical to a plain decode, which itself matches
+    # the encoder's per-step state sync (see :func:`decode` — a hoisted
+    # phi_z would desync trained models)
     def step(h, xs):
-        phi_z_rx_t, lost_t, cmask_t = xs
+        z_rx_t, lost_t, cmask_t = xs
         prior_t = prior_apply(params, h, prec)
         z_hat = jnp.round(prior_t) if mode == "map" else prior_t
         z_conceal = _apply_bit_mask(z_hat, cmask_t)
-        phi_z_t = jnp.where(
-            lost_t[:, None] > 0, phi_z_apply(params, z_conceal, prec), phi_z_rx_t
-        )
+        z_t = jnp.where(lost_t[:, None] > 0, z_conceal, z_rx_t)
+        phi_z_t = phi_z_apply(params, z_t, prec)
         dec_t = dec_apply(params, jnp.concatenate([phi_z_t, h], -1), prec)
         phi_x_gen = phi_x_apply(params, _normalize(params, dec_t), prec)
         h_next = gru_step(
@@ -416,7 +426,7 @@ def decode_plc(
         return h_next, dec_t
 
     xs = (
-        jnp.swapaxes(phi_z, 0, 1),
+        jnp.swapaxes(z, 0, 1),
         jnp.swapaxes(lost_f, 0, 1),
         jnp.swapaxes(cmask, 0, 1),
     )
