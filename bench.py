@@ -59,6 +59,86 @@ def load_speech(seconds: float, n_streams: int) -> np.ndarray:
     return batch.astype(np.float32)
 
 
+def _scan_weight_cost(params) -> tuple[int, int]:
+    """(matmul weight bytes touched per frame, MACs per frame per stream) of
+    the BVRNN scan: every dense weight is read once per frame step, and each
+    contributes in*out MACs per stream (mel stats / biases / log_sigma are
+    negligible)."""
+    import jax
+
+    bytes_frame = 0
+    macs = 0
+    for leaf in jax.tree.leaves(params):
+        import numpy as _np
+
+        a = _np.asarray(leaf)
+        if a.ndim == 2:
+            bytes_frame += a.size * a.dtype.itemsize
+            macs += a.size
+    return bytes_frame, macs
+
+
+def _vocoder_cost(vcfg, t_frames: int, batch: int) -> tuple[int, int]:
+    """(FLOPs, minimal HBM activation bytes) of one generator forward:
+    2*Cin*Cout*k*T_in MACs per conv (transposed convs count per input
+    position), activation traffic = read input + write output per conv at
+    4 B/elem (weights are negligible; snake activations fuse into the convs
+    per the probe_voc_ops measurement)."""
+    flops = 0
+    bytes_ = 0
+    C0 = vcfg.upsample_initial_channel
+
+    def conv(cin, cout, k, t_in, t_out):
+        nonlocal flops, bytes_
+        flops += 2 * cin * cout * k * t_in * batch
+        bytes_ += 4 * batch * (cin * t_in + cout * t_out)
+
+    conv(vcfg.num_mels, C0, 7, t_frames, t_frames)  # conv_pre
+    t = t_frames
+    for i, (u, k) in enumerate(zip(vcfg.upsample_rates, vcfg.upsample_kernel_sizes)):
+        cin, cout = C0 // (2 ** i), C0 // (2 ** (i + 1))
+        conv(cin, cout, k, t, t * u)
+        t *= u
+        for ksz, dils in zip(vcfg.resblock_kernel_sizes,
+                             vcfg.resblock_dilation_sizes):
+            for _ in dils:
+                conv(cout, cout, ksz, t, t)  # convs1 (dilated)
+                conv(cout, cout, ksz, t, t)  # convs2
+    conv(C0 // (2 ** len(vcfg.upsample_rates)), 1, 7, t, t)  # conv_post
+    return flops, bytes_
+
+
+def measure_ceilings(time_fn):
+    """Self-calibrated chip ceilings, measured at bench time (the honest
+    denominators for the roofline-utilization fields; stale constants from
+    benchmarks/README.md would silently rot if the virtualized chip
+    changes).  Returns {bf16_matmul_tflops, f32_matmul_tflops,
+    stream_f32_gbps}."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    a16 = jnp.ones((n, n), jnp.bfloat16)
+    b16 = jnp.ones((n, n), jnp.bfloat16)
+    t = time_fn(jax.jit(lambda a, b: a @ b), a16, b16, iters=3)
+    bf16_tflops = 2 * n ** 3 / t / 1e12
+    a32 = jnp.ones((n, n), jnp.float32)
+    b32 = jnp.ones((n, n), jnp.float32)
+    t = time_fn(jax.jit(
+        lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)),
+        a32, b32, iters=3)
+    f32_tflops = 2 * n ** 3 / t / 1e12
+    big = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB
+    t = time_fn(jax.jit(jnp.tanh), big, iters=3)
+    stream_gbps = 2 * big.size * 4 / t / 1e9  # read + write
+    t = time_fn(jax.jit(jnp.sum), big, iters=3)  # pure-read HBM rate
+    read_gbps = big.size * 4 / t / 1e9
+    return {"bf16_matmul_tflops": round(bf16_tflops, 2),
+            "f32_matmul_tflops": round(f32_tflops, 2),
+            "stream_f32_gbps": round(stream_gbps, 1),
+            "hbm_read_gbps": round(read_gbps, 1)}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -68,6 +148,7 @@ def main():
     from bvsc_tpu.codec import BVRNNCodecModel
 
     log("devices:", jax.devices())
+    extra = {}  # roofline/latency fields merged into the final JSON line
 
     seconds = 4.0
     n_streams = 128
@@ -107,6 +188,21 @@ def main():
     log(f"batched {n_streams} streams x {seconds}s: {t_batched * 1e3:.1f} ms "
         f"-> {throughput:.1f} audio-sec/sec/chip (compute, fast mode)")
 
+    # --- roofline ceilings + utilization (VERDICT r2 #4) ---------------------
+    # ceilings are re-measured every run on this chip; utilization compares
+    # each phase's analytic FLOPs/bytes against the binding ceiling, making
+    # "fast as this chip allows" auditable rather than asserted.
+    try:
+        ceil = measure_ceilings(time_fn)
+        log(f"measured ceilings: bf16 matmul {ceil['bf16_matmul_tflops']} "
+            f"TFLOP/s, f32 matmul {ceil['f32_matmul_tflops']} TFLOP/s, "
+            f"f32 streaming {ceil['stream_f32_gbps']} GB/s, HBM read "
+            f"{ceil['hbm_read_gbps']} GB/s")
+        extra["ceilings"] = ceil
+    except Exception as e:  # pragma: no cover
+        log("ceiling measurement skipped:", e)
+        ceil = None
+
     # --- phase breakdown (two-program composition, for comparison) ----------
     t_2prog = time_fn(full_chain_2prog, x)
     t_enc = time_fn(lambda w: codec.encode(w, bitrate), x)
@@ -115,6 +211,38 @@ def main():
     log(f"two-program encode->decode: {t_2prog * 1e3:.1f} ms "
         f"({audio_sec / t_2prog:.1f} audio-sec/sec); "
         f"phases: encode {t_enc * 1e3:.1f} ms, decode+vocode {t_dec * 1e3:.1f} ms")
+
+    # --- per-phase roofline utilization --------------------------------------
+    if ceil is not None:
+        t_frames = int(np.asarray(codes).shape[1])
+        w_bytes, macs = _scan_weight_cost(codec.bvrnn_params)
+        # encode scan: ~2 MAC passes over the dense weights per frame
+        # (encode_decode computes enc+dec trajectories in one scan); traffic
+        # = weights re-read per frame (B=128 amortizes them across streams)
+        scan_flops = 2 * 2 * macs * t_frames * n_streams
+        scan_bytes = 2 * w_bytes * t_frames
+        enc_tf = scan_flops / t_enc / 1e12
+        enc_gb = scan_bytes / t_enc / 1e9
+        enc_util = max(enc_tf / ceil["bf16_matmul_tflops"],
+                       enc_gb / ceil["hbm_read_gbps"])
+        log(f"encode-scan phase: {enc_tf:.2f} TFLOP/s (bf16), {enc_gb:.1f} "
+            f"GB/s weight traffic -> {enc_util:.2f}x of binding ceiling "
+            f"({'matmul' if enc_tf / ceil['bf16_matmul_tflops'] >= enc_gb / ceil['hbm_read_gbps'] else 'HBM'})")
+        voc_flops, voc_bytes = _vocoder_cost(
+            codec.conf.vocoder_config, t_frames, n_streams)
+        voc_tf = voc_flops / t_dec / 1e12
+        voc_gb = voc_bytes / t_dec / 1e9
+        voc_util = max(voc_tf / ceil["f32_matmul_tflops"],
+                       voc_gb / ceil["stream_f32_gbps"])
+        log(f"decode+vocode phase: {voc_tf:.2f} TFLOP/s conv, {voc_gb:.1f} "
+            f"GB/s activation traffic -> {voc_util:.2f}x of binding ceiling "
+            f"({'matmul' if voc_tf / ceil['f32_matmul_tflops'] >= voc_gb / ceil['stream_f32_gbps'] else 'HBM'})")
+        extra.update(
+            encode_tflops=round(enc_tf, 2), encode_gbps=round(enc_gb, 1),
+            encode_roofline_util=round(enc_util, 3),
+            vocoder_tflops=round(voc_tf, 2), vocoder_gbps=round(voc_gb, 1),
+            vocoder_roofline_util=round(voc_util, 3),
+        )
 
     # --- batched with weight-only int8 BVRNN scans ---------------------------
     # (serving config upgrade: scan weights are the HBM-resident bulk; int8
@@ -127,13 +255,16 @@ def main():
             return codec_q8(wav, bitrate)
 
         t_batched_q8 = time_fn(full_chain_q8, x)
+        # agreement over the FULL 128-stream batch (VERDICT r2 #8)
+        c_fast_full = np.asarray(codec.encode(x, bitrate))
         agree_q8 = float(
-            (np.asarray(codec_q8.encode(x[:8], bitrate))
-             == np.asarray(codec.encode(x[:8], bitrate))).mean()
+            (np.asarray(codec_q8.encode(x, bitrate)) == c_fast_full).mean()
         )
         log(f"batched int8 scans: {t_batched_q8 * 1e3:.1f} ms -> "
             f"{audio_sec / t_batched_q8:.1f} audio-sec/sec/chip "
-            f"(agreement {agree_q8 * 100:.3f}%)")
+            f"(agreement {agree_q8 * 100:.3f}% over n={c_fast_full.size} bits)")
+        extra.update(int8_agreement=round(agree_q8, 5),
+                     agreement_sample_bits=int(c_fast_full.size))
         if t_batched_q8 < t_batched and agree_q8 >= 0.998:
             throughput = audio_sec / t_batched_q8
             log("headline uses int8-scan serving config")
@@ -155,25 +286,68 @@ def main():
         t_single_q = time_fn(full_chain_q, x1)
         log(f"single stream int8 scans: {t_single_q * 1e3:.1f} ms -> "
             f"RTF {seconds / t_single_q:.1f}x")
-        c_q = np.asarray(codec_q.encode(x[:8], bitrate))
-        c_f = np.asarray(codec.encode(x[:8], bitrate))
-        log(f"int8 code agreement vs fast-f32: {(c_q == c_f).mean() * 100:.3f}%")
 
-        # mixed mode: enc+phi_x bf16, rest int8 (higher code agreement)
+        # mixed mode: enc+phi_x bf16, rest int8 (higher code agreement);
+        # agreement over the FULL 128-stream batch (VERDICT r2 #8)
         codec_qm = BVRNNCodecModel(precision="default", quantize="int8_mixed")
         t_single_qm = time_fn(lambda w: codec_qm(w, bitrate), x1)
-        c_qm = np.asarray(codec_qm.encode(x[:8], bitrate))
+        c_f = np.asarray(codec.encode(x, bitrate))
+        c_qm = np.asarray(codec_qm.encode(x, bitrate))
+        agree_qm = float((c_qm == c_f).mean())
         log(f"single stream int8_mixed scans: {t_single_qm * 1e3:.1f} ms -> "
             f"RTF {seconds / t_single_qm:.1f}x "
-            f"(agreement {(c_qm == c_f).mean() * 100:.3f}%)")
+            f"(agreement {agree_qm * 100:.3f}% over n={c_f.size} bits)")
+        extra.update(int8_mixed_agreement=round(agree_qm, 5))
     except Exception as e:  # pragma: no cover
         log("int8 path skipped:", e)
 
-    # --- streaming p50 frame latency (FusedPacketCodec, 1 dispatch/packet) --
+    # --- streaming packet latency --------------------------------------------
+    # (a) DEVICE property (VERDICT r2 #3): a single-dispatch lax.scan chain
+    #     of N fused packet steps — compute-only per-packet latency, immune
+    #     to tunnel-RTT weather.  This is the number the 34.8 ms algorithmic
+    #     budget is judged against.
+    # (b) host wall-clock per packet through this env's tunnel (context).
     try:
-        from bvsc_tpu.streaming import FusedPacketCodec
+        from bvsc_tpu.streaming import FusedPacketCodec, _fused_packet_step
 
         fc = FusedPacketCodec(codec, batch=1, bitrate=bitrate)
+        fc.process(x_host[:1, : fc.winsize - fc.pad_left])  # start the stream
+
+        n_pkt = 128
+        chunks = jnp.asarray(
+            x_host[0, : n_pkt * fc.hop].reshape(n_pkt, 1, fc.hop))
+        bcfg, vcfg = codec.bvrnn_cfg, codec.conf.vocoder_config
+        frontend = codec.frontend
+
+        @jax.jit
+        def packet_chain(params, voc_params, state, chunks, bits):
+            def body(st, chunk):
+                st, codes, wav = _fused_packet_step(
+                    params, voc_params, st, chunk, bits,
+                    bcfg=bcfg, vcfg=vcfg, frontend=frontend)
+                return st, codes.sum() + wav.sum()
+            _, acc = jax.lax.scan(body, state, chunks)
+            return acc.sum()
+
+        args_chain = (codec.bvrnn_params, codec.vocoder_params, fc.state,
+                      chunks, fc.bits)
+        sync(packet_chain(*args_chain))  # compile
+        per_run = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            sync(packet_chain(*args_chain))
+            per_run.append((time.perf_counter() - t0) / n_pkt * 1e3)
+        dev_p50 = float(np.percentile(per_run, 50))
+        dev_p99 = float(np.percentile(per_run, 99))
+        budget_ms = (fc.winsize - fc.pad_left) / codec.conf.fs * 1e3  # 34.8
+        log(f"streaming packet compute latency (device, {n_pkt}-packet "
+            f"chain x20): p50={dev_p50:.2f} ms p99={dev_p99:.2f} ms per "
+            f"11.6 ms packet vs {budget_ms:.1f} ms algorithmic budget "
+            f"({'INSIDE' if dev_p99 < budget_ms else 'OVER'})")
+        extra.update(stream_device_ms_p50=round(dev_p50, 3),
+                     stream_device_ms_p99=round(dev_p99, 3),
+                     stream_budget_ms=round(budget_ms, 1))
+
         lat = []
         xs = np.asarray(x_host[0])
         for i in range(0, 256 * 120, 256):
@@ -181,9 +355,11 @@ def main():
             fc.process(xs[None, i : i + 256])
             lat.append(time.perf_counter() - t0)
         lat = np.array(lat[4:]) * 1e3
-        log(f"streaming frame latency (11.6 ms packets): "
-            f"p50={np.percentile(lat, 50):.2f} ms p99={np.percentile(lat, 99):.2f} ms "
-            f"(dominated by tunnel RTT in this env)")
+        log(f"streaming frame latency incl. host hop (tunnel-RTT-bound in "
+            f"this env): p50={np.percentile(lat, 50):.2f} ms "
+            f"p99={np.percentile(lat, 99):.2f} ms")
+        extra.update(stream_host_ms_p50=round(float(np.percentile(lat, 50)), 2),
+                     stream_host_ms_p99=round(float(np.percentile(lat, 99)), 2))
     except Exception as e:  # pragma: no cover
         log("streaming latency check skipped:", e)
 
@@ -197,11 +373,12 @@ def main():
     # --- fast-mode vs parity-mode code agreement -----------------------------
     try:
         parity = BVRNNCodecModel(precision="highest")
-        xa = x[:8]
-        c_fast = np.asarray(codec.encode(xa, bitrate))
-        c_ref = np.asarray(parity.encode(xa, bitrate))
+        c_fast = np.asarray(codec.encode(x, bitrate))
+        c_ref = np.asarray(parity.encode(x, bitrate))
         agree = float((c_fast == c_ref).mean())
-        log(f"fast-mode code agreement vs parity mode: {agree * 100:.3f}%")
+        log(f"fast-mode code agreement vs parity mode: {agree * 100:.3f}% "
+            f"(n={c_ref.size} bits)")
+        extra.update(fast_vs_parity_agreement=round(agree, 5))
     except Exception as e:  # pragma: no cover
         log("code agreement check skipped:", e)
 
@@ -210,6 +387,7 @@ def main():
         "value": round(throughput, 2),
         "unit": "audio_sec_per_sec",
         "vs_baseline": round(throughput / 100.0, 3),
+        **extra,
     }))
 
 
