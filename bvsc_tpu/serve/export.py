@@ -622,6 +622,21 @@ class ExportedPacketDecoder:
 # ---------------------------------------------------------------------------
 
 
+def _bundle_batch_sharding(mesh, batch: int):
+    """Stream-batch sharding for the bundle-backed engines: the exported
+    tick programs are batch-elementwise over the slot axis, so calling them
+    with the state/inputs sharded over the mesh's data axis serves the slots
+    multi-chip exactly like the live :class:`ServingEngine` (sharding
+    propagates through the deserialized call)."""
+    if mesh is None:
+        return None
+    from bvsc_tpu.parallel.mesh import batch_sharded
+
+    if batch % mesh.size:
+        raise ValueError("engine batch must divide evenly over the mesh")
+    return batch_sharded(mesh)
+
+
 def _require_engine_meta(bundle: ServingBundle) -> dict:
     eng = bundle.meta.get("engine")
     if not eng:
@@ -640,7 +655,7 @@ class BundleServingEngine(ServingEngine):
     artifact alone: no model code, converter, or re-trace at serve time.
     Slot count is fixed at the export's ``engine_batch``."""
 
-    def __init__(self, bundle: ServingBundle):
+    def __init__(self, bundle: ServingBundle, mesh=None):
         # mirrors ServingEngine.__init__ without a live codec: state comes
         # from the exported init program, ticks from the exported tick
         eng = _require_engine_meta(bundle)
@@ -651,14 +666,14 @@ class BundleServingEngine(ServingEngine):
         self.win = conf.winsize
         self.pad_left = conf.mel_pad_left
         self.z_dim = conf.z_dim
-        self._batch_sharding = None
+        self._batch_sharding = _bundle_batch_sharding(mesh, self.B)
         self._tick_prog = bundle._program(eng["tick"])
         self._init_prog = bundle._program(eng["init"])
         self.state = self._init_device_state()
         self._init_host_slots()
 
     def _init_device_state(self):
-        return self._init_prog.call()
+        return self._put(self._init_prog.call())
 
     def _tick_call(self, state, chunk, bits, active):
         return self._tick_prog.call(
@@ -672,21 +687,21 @@ class BundleDecodeEngine(DecodeEngine):
     audio out, per-stream prior-based PLC) from the exported
     ``engine_decode_tick``."""
 
-    def __init__(self, bundle: ServingBundle):
+    def __init__(self, bundle: ServingBundle, mesh=None):
         eng = _require_engine_meta(bundle)
         conf = bundle.conf
         self.codec = bundle
         self.B = int(eng["batch"])
         self.hop = conf.hopsize
         self.z_dim = conf.z_dim
-        self._batch_sharding = None
+        self._batch_sharding = _bundle_batch_sharding(mesh, self.B)
         self._tick_prog = bundle._program(eng["decode_tick"])
         self._init_prog = bundle._program(eng["decode_init"])
         self.state = self._init_device_state()
         self._init_host_slots()
 
     def _init_device_state(self):
-        return self._init_prog.call()
+        return self._put(self._init_prog.call())
 
     def _tick_call(self, state, codes, lost, cbits, active):
         return self._tick_prog.call(
