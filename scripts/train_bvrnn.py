@@ -42,6 +42,13 @@ def parse_args(argv=None):
     p.add_argument("--stats_batches", type=int, default=8,
                    help="batches used to estimate mel mean/std")
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--teacher_force_step_1perc", type=int, default=None,
+                   help="override the config's scheduled-sampling ramp "
+                        "length (reference config_varBitRate.toml:32); the "
+                        "reference's 30000 is tuned for 200k-step budgets — "
+                        "short demo runs should scale it so the ramp "
+                        "completes well before max_steps (inference is "
+                        "100%% closed-loop)")
     p.add_argument("--augment", action="store_true",
                    help="on-the-fly speed perturbation (0.85-1.15) + "
                         "random gain (-10..0 dB) per crop — counters "
@@ -73,6 +80,12 @@ def main(argv=None):
     from bvsc_tpu.utils.logging import TrainLogger
 
     conf = CodecConfig.from_toml(args.config)
+    if args.teacher_force_step_1perc is not None:
+        import dataclasses
+
+        conf = dataclasses.replace(
+            conf, teacher_force_step_1perc=args.teacher_force_step_1perc
+        )
     if jax.process_index() == 0:  # reference env.py:14-18 via train.py:427
         _cli_common.build_env(args.config, args.checkpoint_path)
     batch_size = args.batch_size or conf.batch_size
