@@ -11,6 +11,16 @@
  *   bvsp_client HOST PORT encode  BITRATE   < in.f32   > out.bvspf
  *   bvsp_client HOST PORT decode  [BITRATE] < in.bvspf > out.f32
  *
+ * encode-ent / decode-ent negotiate adaptive entropy-coded code payloads
+ * (protocol FLAG_ENTROPY; bvsc_tpu/serve/entropy_wire.py): encode-ent
+ * emits the daemon's CODES_ENT_OUT frames verbatim (~80-96 % smaller on
+ * the demo checkpoint), decode-ent forwards CODES_ENT frames.  A recorded
+ * encode-ent .bvspf replays into decode-ent after retyping 0x84 -> 0x07
+ * (the same CODES_OUT -> CODES retype the raw pipeline needs); both
+ * stream coders start from the same initial state, so the payloads decode
+ * identically.  BVSP_ENT_BLOCK (env, default 8) sets the server's
+ * encode-side frames-per-message aggregation.
+ *
  * I/O contract (all little-endian, matching the wire):
  *   - f32 streams are raw float32 samples at the codec rate (22.05 kHz for
  *     the shipped configs); PCM conversion is the caller's concern.
@@ -65,35 +75,45 @@
 #define MSG_LOST 0x04
 #define MSG_SET_BITRATE 0x05
 #define MSG_CLOSE 0x06
+#define MSG_CODES_ENT 0x07
 #define MSG_OPENED 0x81
 #define MSG_CODES_OUT 0x82
 #define MSG_AUDIO_OUT 0x83
+#define MSG_CODES_ENT_OUT 0x84
 #define MSG_ERROR 0xFF
 
 #define MODE_RESYNTH 0
 #define MODE_ENCODE 1
 #define MODE_DECODE 2
 
+#define FLAG_ENTROPY 0x01
+
 #define HDR_SIZE 5       /* u8 type + u32 len */
 #define HELLO_SIZE 10    /* "BVSP" + u8 ver + u8 mode + f32 bitrate */
+#define HELLO_EXT_SIZE 2 /* u8 flags + u8 entropy_block */
 #define OPENED_SIZE 6    /* u16 sid + u16 z_dim + u16 hop */
+#define OPENED_EXT_SIZE 1 /* u8 accepted flags */
 
 /* per-type payload bounds for SERVER->client frames (protocol MAX_PAYLOAD) */
 static long max_payload(uint8_t t) {
   switch (t) {
-    case MSG_OPENED:    return OPENED_SIZE;
-    case MSG_CODES_OUT: return 1L << 20;
-    case MSG_AUDIO_OUT: return 4L << 20;
-    case MSG_ERROR:     return 4096;
-    default:            return -1;
+    case MSG_OPENED:        return OPENED_SIZE + OPENED_EXT_SIZE;
+    case MSG_CODES_OUT:     return 1L << 20;
+    case MSG_AUDIO_OUT:     return 4L << 20;
+    case MSG_CODES_ENT_OUT: return 1L << 20;
+    case MSG_ERROR:         return 4096;
+    default:                return -1;
   }
 }
 
-/* bounds for frames we forward from local .bvspf input in decode mode */
-static long max_payload_fwd(uint8_t t) {
+/* bounds for frames we forward from local .bvspf input in decode mode;
+   entropy frames only after a negotiated -ent session (stateful payloads
+   would be rejected by a plain server anyway) */
+static long max_payload_fwd(uint8_t t, int entropy) {
   switch (t) {
     case MSG_CODES: return 1L << 20;
     case MSG_LOST:  return 2;
+    case MSG_CODES_ENT: return entropy ? (1L << 20) : -1;
     default:        return -1;
   }
 }
@@ -231,16 +251,31 @@ static int connect_to(const char *host, const char *port) {
 int main(int argc, char **argv) {
   if (argc < 4 || argc > 5) {
     fprintf(stderr,
-            "usage: bvsp_client HOST PORT resynth|encode|decode [BITRATE]\n");
+            "usage: bvsp_client HOST PORT "
+            "resynth|encode|decode|encode-ent|decode-ent [BITRATE]\n");
     return 1;
   }
-  int mode;
+  int mode, entropy = 0;
   if (!strcmp(argv[3], "resynth")) mode = MODE_RESYNTH;
   else if (!strcmp(argv[3], "encode")) mode = MODE_ENCODE;
   else if (!strcmp(argv[3], "decode")) mode = MODE_DECODE;
+  else if (!strcmp(argv[3], "encode-ent")) { mode = MODE_ENCODE; entropy = 1; }
+  else if (!strcmp(argv[3], "decode-ent")) { mode = MODE_DECODE; entropy = 1; }
   else {
     fprintf(stderr, "bvsp_client: unknown mode '%s'\n", argv[3]);
     return 1;
+  }
+  int ent_block = 8; /* server-side encode aggregation (frames/message) */
+  {
+    const char *eb = getenv("BVSP_ENT_BLOCK");
+    if (eb && *eb) {
+      long v = strtol(eb, NULL, 10);
+      if (v < 1 || v > 255) {
+        fprintf(stderr, "bvsp_client: BVSP_ENT_BLOCK must be in [1,255]\n");
+        return 1;
+      }
+      ent_block = (int)v;
+    }
   }
   float bitrate = NAN;
   if (argc == 5 && strcasecmp(argv[4], "nan") != 0)
@@ -255,14 +290,20 @@ int main(int argc, char **argv) {
 
   buf_t outq = {0}, inq = {0}, stdin_buf = {0};
 
-  /* HELLO */
+  /* HELLO (entropy sessions append the 2-byte flags extension) */
   {
-    uint8_t hello[HELLO_SIZE];
+    uint8_t hello[HELLO_SIZE + HELLO_EXT_SIZE];
     memcpy(hello, "BVSP", 4);
     hello[4] = 1; /* version */
     hello[5] = (uint8_t)mode;
     put_f32le(hello + 6, bitrate);
-    queue_frame(&outq, MSG_HELLO, hello, HELLO_SIZE);
+    uint32_t hlen = HELLO_SIZE;
+    if (entropy) {
+      hello[HELLO_SIZE] = FLAG_ENTROPY;
+      hello[HELLO_SIZE + 1] = (uint8_t)ent_block;
+      hlen += HELLO_EXT_SIZE;
+    }
+    queue_frame(&outq, MSG_HELLO, hello, hlen);
   }
 
   if (fcntl(sock, F_SETFL, O_NONBLOCK) < 0) { perror("fcntl"); return 1; }
@@ -349,8 +390,16 @@ int main(int argc, char **argv) {
                   (const char *)payload);
           return 2;
         } else if (type == MSG_OPENED) {
-          if (opened || len != OPENED_SIZE) {
+          if (opened ||
+              (len != OPENED_SIZE && len != OPENED_SIZE + OPENED_EXT_SIZE)) {
             fprintf(stderr, "bvsp_client: bad OPENED\n");
+            return 3;
+          }
+          uint8_t got_flags =
+              (len > OPENED_SIZE) ? payload[OPENED_SIZE] : 0;
+          if (entropy && !(got_flags & FLAG_ENTROPY)) {
+            fprintf(stderr,
+                    "bvsp_client: server did not accept entropy coding\n");
             return 3;
           }
           opened = 1;
@@ -363,9 +412,11 @@ int main(int argc, char **argv) {
             perror("write");
             return 1;
           }
-        } else if (type == MSG_CODES_OUT) {
-          if (mode != MODE_ENCODE) {
-            fprintf(stderr, "bvsp_client: unexpected CODES_OUT\n");
+        } else if (type == MSG_CODES_OUT || type == MSG_CODES_ENT_OUT) {
+          if (mode != MODE_ENCODE ||
+              (type == MSG_CODES_ENT_OUT && !entropy)) {
+            fprintf(stderr, "bvsp_client: unexpected CODES%s_OUT\n",
+                    type == MSG_CODES_ENT_OUT ? "_ENT" : "");
             return 3;
           }
           /* emit the frame verbatim (.bvspf = wire framing) */
@@ -416,7 +467,7 @@ int main(int argc, char **argv) {
             if (stdin_buf.len < HDR_SIZE) break;
             uint8_t type = buf_ptr(&stdin_buf)[0];
             uint32_t len = get_u32le(buf_ptr(&stdin_buf) + 1);
-            long lim = max_payload_fwd(type);
+            long lim = max_payload_fwd(type, entropy);
             if (lim < 0) {
               fprintf(stderr,
                       "bvsp_client: input frame type 0x%02x not allowed in "

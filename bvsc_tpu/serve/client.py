@@ -36,10 +36,20 @@ class ServerError(RuntimeError):
 
 class CodecClient:
     def __init__(self, host: str, port: int, mode: str = "resynth",
-                 bitrate: float | None = 3000.0, timeout: float = 600.0):
+                 bitrate: float | None = 3000.0, timeout: float = 600.0,
+                 entropy: bool = False, entropy_block: int = 8):
         """mode: 'resynth' | 'encode' | 'decode'.  bitrate: stream bps for
         encode/resynth; for decode it is the PLC concealment allocation
         (None = conceal with all prior bits).
+
+        entropy: negotiate adaptive entropy coding of the code payloads
+        (encode/decode modes; ``serve/entropy_wire.py`` — integer-adaptive,
+        model-free, so this client stays numpy+stdlib).  Transparent at the
+        API: recv()/drain() still yield plain code frames; send_codes()
+        still takes them.  entropy_block sets the server's encode-side
+        aggregation (frames per message; the rANS flush amortizes over it,
+        at block x 11.6 ms added batching latency).  Payload accounting in
+        ``entropy_stats``.
 
         timeout is the socket deadline for every blocking call.  The
         default is generous because a daemon serving a LIVE codec compiles
@@ -49,13 +59,20 @@ class CodecClient:
         backed daemon (AOT ``.bvscx``) a few seconds would do."""
         if mode not in _MODES:
             raise ValueError(f"mode must be one of {sorted(_MODES)}")
+        if entropy and mode == "resynth":
+            raise ValueError("entropy coding applies to encode/decode modes")
         self.mode = mode
+        self.entropy = bool(entropy)
+        self._coder = None
+        self.entropy_stats = {"raw_payload_bytes": 0, "wire_payload_bytes": 0}
         self.sock = socket.create_connection((host, port), timeout=timeout)
         try:
             self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             self._input_closed = False
             P.write_msg(self.sock, P.MSG_HELLO,
-                        P.pack_hello(_MODES[mode], bitrate))
+                        P.pack_hello(_MODES[mode], bitrate,
+                                     flags=P.FLAG_ENTROPY if entropy else 0,
+                                     entropy_block=entropy_block))
             msg = self._recv()
             if msg is None:
                 raise ServerError(
@@ -63,7 +80,13 @@ class CodecClient:
             msg_type, payload = msg
             if msg_type != P.MSG_OPENED:
                 raise ServerError("handshake failed")
-            self.sid, self.z_dim, self.hop = P.unpack_opened(payload)
+            self.sid, self.z_dim, self.hop, flags = P.unpack_opened(payload)
+            if entropy and not flags & P.FLAG_ENTROPY:
+                raise ServerError("server did not accept entropy coding")
+            if entropy:
+                from bvsc_tpu.serve.entropy_wire import AdaptiveCodesCoder
+
+                self._coder = AdaptiveCodesCoder(self.z_dim)
         except BaseException:
             self.sock.close()  # no fd leak when the handshake is rejected
             raise
@@ -78,7 +101,18 @@ class CodecClient:
 
     def send_codes(self, codes: np.ndarray, bits: int) -> None:
         """codes: (frames, z_dim) of {0,1} (0.5 in masked slots); bits: the
-        integer per-frame allocation (decode mode)."""
+        integer per-frame allocation (decode mode).  With negotiated
+        entropy coding each call becomes one rANS block (the caller's
+        message granularity is the aggregation unit)."""
+        if self._coder is not None:
+            codes = np.asarray(codes, np.float32)
+            body = self._coder.encode_block(codes, bits)
+            self.entropy_stats["raw_payload_bytes"] += (
+                codes.shape[0] * bits + 7) // 8
+            self.entropy_stats["wire_payload_bytes"] += len(body)
+            P.write_msg(self.sock, P.MSG_CODES_ENT,
+                        P.pack_codes_ent_msg(body, codes.shape[0], bits))
+            return
         P.write_msg(self.sock, P.MSG_CODES, P.pack_codes_msg(codes, bits))
 
     def send_lost(self, n: int = 1) -> None:
@@ -118,6 +152,17 @@ class CodecClient:
             return "audio", P.unpack_audio(payload)
         if msg_type == P.MSG_CODES_OUT:
             return "codes", P.unpack_codes_msg(payload, self.z_dim)
+        if msg_type == P.MSG_CODES_ENT_OUT:
+            if self._coder is None:
+                raise ServerError("CODES_ENT_OUT without negotiated entropy")
+            frames, bits, body = P.unpack_codes_ent_msg(payload)
+            try:
+                codes = self._coder.decode_block(body, frames, bits)
+            except ValueError as e:
+                raise ServerError(f"corrupt entropy payload: {e}") from e
+            self.entropy_stats["raw_payload_bytes"] += (frames * bits + 7) // 8
+            self.entropy_stats["wire_payload_bytes"] += len(body)
+            return "codes", (codes, bits)
         raise ServerError(f"unexpected message 0x{msg_type:02x}")
 
     def drain(self) -> dict:

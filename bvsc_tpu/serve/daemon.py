@@ -58,6 +58,15 @@ class _Conn:
         self.sid: int | None = None
         self.closing = False  # CLOSE received: drain queued input, then FIN
         self.dead = False  # slot freed; no more routing to this conn
+        # negotiated adaptive entropy coding (protocol.FLAG_ENTROPY):
+        # enc_coder compresses outbound code frames (ticker thread only),
+        # dec_coder decompresses inbound CODES_ENT (reader thread only)
+        self.entropy = False
+        self.ent_block = 8
+        self.enc_coder = None
+        self.dec_coder = None
+        self.ent_pending: list[np.ndarray] = []  # buffered outbound frames
+        self.ent_pending_bits = -1
         self._outq: collections.deque[tuple[int, bytes]] = collections.deque()
         self._out_bytes = 0
         self._outq_limit = outq_limit
@@ -366,10 +375,25 @@ class CodecDaemon:
         msg = P.read_msg(conn.sock)
         if msg is None or msg[0] != P.MSG_HELLO:
             raise P.ProtocolError("expected HELLO")
-        mode, bitrate = P.unpack_hello(msg[1])
+        mode, bitrate, flags, ent_block = P.unpack_hello(msg[1])
+        if flags & ~P.FLAG_ENTROPY:
+            raise P.ProtocolError(f"unsupported HELLO flags 0x{flags:02x}")
         if bitrate is not None:
             bitrate = self._check_bitrate(bitrate)
         conn.mode = mode
+        if flags & P.FLAG_ENTROPY:
+            from bvsc_tpu.serve.entropy_wire import AdaptiveCodesCoder
+
+            conn.entropy = True
+            conn.ent_block = ent_block
+            if mode == P.MODE_ENCODE:
+                conn.enc_coder = AdaptiveCodesCoder(self.codec.conf.z_dim)
+            elif mode == P.MODE_DECODE:
+                conn.dec_coder = AdaptiveCodesCoder(self.codec.conf.z_dim)
+            else:
+                raise P.ProtocolError(
+                    "entropy coding applies to encode/decode streams only"
+                )
         with self._cond:
             if self._shutdown:
                 raise P.ProtocolError("server shutting down")
@@ -385,12 +409,44 @@ class CodecDaemon:
             except RuntimeError as e:  # no free slots
                 raise P.ProtocolError(str(e)) from e
         conf = self.codec.conf
-        conn.send(P.MSG_OPENED, P.pack_opened(conn.sid, conf.z_dim, conf.hopsize))
+        conn.send(P.MSG_OPENED, P.pack_opened(
+            conn.sid, conf.z_dim, conf.hopsize,
+            flags=P.FLAG_ENTROPY if conn.entropy else 0,
+        ))
 
     def _dispatch(self, conn: _Conn, msg_type: int, payload: bytes) -> None:
         conf = self.codec.conf
         if conn.mode == P.MODE_DECODE:
-            if msg_type == P.MSG_CODES:
+            if msg_type == P.MSG_CODES_ENT:
+                if conn.dec_coder is None:
+                    raise P.ProtocolError(
+                        "CODES_ENT without negotiated entropy coding")
+                frames, bits, body = P.unpack_codes_ent_msg(payload)
+                if not conf.var_bit and bits != conf.z_dim:
+                    raise P.ProtocolError(
+                        f"fixed-bitrate codec: CODES_ENT must carry exactly "
+                        f"{conf.z_dim} bits/frame, got {bits}"
+                    )
+                if bits > conf.z_dim:
+                    raise P.ProtocolError(
+                        f"CODES_ENT bits {bits} > z_dim {conf.z_dim}")
+                try:
+                    # stateful: blocks decode in arrival order (reader thread
+                    # owns this connection's coder)
+                    codes = conn.dec_coder.decode_block(body, frames, bits)
+                except ValueError as e:
+                    raise P.ProtocolError(str(e)) from e
+                with self._cond:
+                    if conn.dead:
+                        return
+                    if (self._dec.queued(conn.sid) + frames
+                            > self._max_buffered_frames):
+                        raise P.ProtocolError(
+                            "input backlog exceeds max_buffered_seconds"
+                        )
+                    self._dec.push(conn.sid, codes)
+                    self._cond.notify_all()
+            elif msg_type == P.MSG_CODES:
                 codes, bits = P.unpack_codes_msg(payload, conf.z_dim)
                 if not conf.var_bit and bits != conf.z_dim:
                     # same guard as _check_bitrate, at the decode-path wire
@@ -502,7 +558,21 @@ class CodecDaemon:
                 conn = self._by_slot.get(("e", sid))
                 if conn is None or conn.dead:
                     continue
-                if conn.mode == P.MODE_ENCODE:
+                if conn.mode == P.MODE_ENCODE and conn.entropy:
+                    # aggregate ent_block frames per rANS payload (the
+                    # ~4-byte flush amortizes); a mid-stream bits change
+                    # flushes the pending block first
+                    bits = int(np.ceil(self._eng.bits[sid]))
+                    if (conn.ent_pending
+                            and bits != conn.ent_pending_bits):
+                        if not self._flush_entropy(conn):
+                            self._teardown(conn)
+                            continue
+                    conn.ent_pending.append(np.asarray(codes, np.float32))
+                    conn.ent_pending_bits = bits
+                    ok = (len(conn.ent_pending) < conn.ent_block
+                          or self._flush_entropy(conn))
+                elif conn.mode == P.MODE_ENCODE:
                     bits = int(np.ceil(self._eng.bits[sid]))
                     ok = conn.enqueue(P.MSG_CODES_OUT,
                                       P.pack_codes_msg(codes[None, :], bits))
@@ -540,6 +610,21 @@ class CodecDaemon:
             )
             self._release(conn, graceful=True)
 
+    def _flush_entropy(self, conn: _Conn) -> bool:
+        """Entropy-encode and enqueue the pending outbound frame block
+        (ticker thread owns enc_coder; caller holds the lock).  False on
+        queue overflow, like enqueue."""
+        if not conn.ent_pending:
+            return True
+        block = np.stack(conn.ent_pending)
+        bits = conn.ent_pending_bits
+        conn.ent_pending = []
+        body = conn.enc_coder.encode_block(block, bits)
+        return conn.enqueue(
+            P.MSG_CODES_ENT_OUT,
+            P.pack_codes_ent_msg(body, block.shape[0], bits),
+        )
+
     def _finish_drained(self) -> None:
         """FIN connections that sent CLOSE and have no input left (caller
         holds the lock).  Graceful: the slot is freed now, but the socket
@@ -547,6 +632,9 @@ class CodecDaemon:
         for conn in [c for c in self._conns if c.closing and not c.dead]:
             eng = self._dec if conn.mode == P.MODE_DECODE else self._eng
             if not eng.has_frame(conn.sid):
+                if conn.entropy and conn.ent_pending:
+                    # sub-block remainder of a drained encode stream
+                    self._flush_entropy(conn)
                 self._release(conn, graceful=True)
 
     def _teardown(self, conn: _Conn) -> None:

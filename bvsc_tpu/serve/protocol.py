@@ -57,20 +57,27 @@ MSG_CODES = 0x03
 MSG_LOST = 0x04
 MSG_SET_BITRATE = 0x05
 MSG_CLOSE = 0x06
+MSG_CODES_ENT = 0x07  # entropy-coded CODES (decode mode, negotiated)
 
 # server -> client
 MSG_OPENED = 0x81
 MSG_CODES_OUT = 0x82
 MSG_AUDIO_OUT = 0x83
+MSG_CODES_ENT_OUT = 0x84  # entropy-coded CODES_OUT (encode mode, negotiated)
 MSG_ERROR = 0xFF
 
 MODE_RESYNTH = 0
 MODE_ENCODE = 1
 MODE_DECODE = 2
 
+# HELLO/OPENED option flags (the optional 2-byte extension; see pack_hello)
+FLAG_ENTROPY = 0x01  # adaptive entropy-coded code payloads (entropy_wire.py)
+
 _HDR = struct.Struct("<BI")
 _HELLO = struct.Struct("<4sBBf")
+_HELLO_EXT = struct.Struct("<BB")  # flags u8, entropy_block u8 (frames/msg)
 _OPENED = struct.Struct("<HHH")  # sid u16 (slot counts up to 65535), z_dim, hop
+_OPENED_EXT = struct.Struct("<B")  # accepted flags echo
 _CODES_HDR = struct.Struct("<HB")
 
 # one AUDIO message carries at most this many float32 samples (stays under
@@ -79,15 +86,17 @@ MAX_AUDIO_SAMPLES = 1 << 20
 
 # per-type payload bounds (defense against hostile/corrupt peers)
 MAX_PAYLOAD = {
-    MSG_HELLO: _HELLO.size,
+    MSG_HELLO: _HELLO.size + _HELLO_EXT.size,
     MSG_AUDIO: 4 << 20,  # ~47 s of float32 audio per message
     MSG_CODES: 1 << 20,
     MSG_LOST: 2,
     MSG_SET_BITRATE: 4,
     MSG_CLOSE: 0,
-    MSG_OPENED: _OPENED.size,
+    MSG_CODES_ENT: 1 << 20,
+    MSG_OPENED: _OPENED.size + _OPENED_EXT.size,
     MSG_CODES_OUT: 1 << 20,
     MSG_AUDIO_OUT: 4 << 20,
+    MSG_CODES_ENT_OUT: 1 << 20,
     MSG_ERROR: 4096,
 }
 
@@ -133,15 +142,33 @@ def read_msg(sock: socket.socket) -> tuple[int, bytes] | None:
     return msg_type, payload
 
 
-def pack_hello(mode: int, bitrate: float | None) -> bytes:
-    """bitrate None (decode mode: conceal with all prior bits) -> NaN."""
+def pack_hello(mode: int, bitrate: float | None, flags: int = 0,
+               entropy_block: int = 8) -> bytes:
+    """bitrate None (decode mode: conceal with all prior bits) -> NaN.
+
+    flags/entropy_block: optional 2-byte extension (omitted when flags==0,
+    so plain clients stay wire-compatible with v1 servers).  entropy_block
+    is the server's encode-side aggregation (frames per CODES_ENT_OUT
+    message; the rANS flush amortizes over it)."""
     if mode not in (MODE_RESYNTH, MODE_ENCODE, MODE_DECODE):
         raise ValueError(f"unknown mode {mode}")
     br = float("nan") if bitrate is None else float(bitrate)
-    return _HELLO.pack(MAGIC, VERSION, mode, br)
+    base = _HELLO.pack(MAGIC, VERSION, mode, br)
+    if not flags:
+        return base
+    if not 1 <= entropy_block <= 255:
+        raise ValueError("entropy_block must be in [1, 255]")
+    return base + _HELLO_EXT.pack(flags, entropy_block)
 
 
-def unpack_hello(payload: bytes) -> tuple[int, float | None]:
+def unpack_hello(payload: bytes) -> tuple[int, float | None, int, int]:
+    """-> (mode, bitrate, flags, entropy_block); flags==0 for plain HELLO."""
+    flags, block = 0, 8
+    if len(payload) == _HELLO.size + _HELLO_EXT.size:
+        flags, block = _HELLO_EXT.unpack(payload[_HELLO.size:])
+        if block < 1:
+            raise ProtocolError("bad entropy_block 0")
+        payload = payload[: _HELLO.size]
     if len(payload) != _HELLO.size:
         raise ProtocolError("bad HELLO length")
     magic, version, mode, bitrate = _HELLO.unpack(payload)
@@ -151,17 +178,23 @@ def unpack_hello(payload: bytes) -> tuple[int, float | None]:
         raise ProtocolError(f"unsupported BVSP version {version}")
     if mode not in (MODE_RESYNTH, MODE_ENCODE, MODE_DECODE):
         raise ProtocolError(f"unknown mode {mode}")
-    return mode, (None if math.isnan(bitrate) else bitrate)
+    return mode, (None if math.isnan(bitrate) else bitrate), flags, block
 
 
-def pack_opened(sid: int, z_dim: int, hop: int) -> bytes:
-    return _OPENED.pack(sid, z_dim, hop)
+def pack_opened(sid: int, z_dim: int, hop: int, flags: int = 0) -> bytes:
+    base = _OPENED.pack(sid, z_dim, hop)
+    return base + _OPENED_EXT.pack(flags) if flags else base
 
 
-def unpack_opened(payload: bytes) -> tuple[int, int, int]:
+def unpack_opened(payload: bytes) -> tuple[int, int, int, int]:
+    """-> (sid, z_dim, hop, accepted_flags)."""
+    flags = 0
+    if len(payload) == _OPENED.size + _OPENED_EXT.size:
+        (flags,) = _OPENED_EXT.unpack(payload[_OPENED.size:])
+        payload = payload[: _OPENED.size]
     if len(payload) != _OPENED.size:
         raise ProtocolError("bad OPENED length")
-    return _OPENED.unpack(payload)
+    return _OPENED.unpack(payload) + (flags,)
 
 
 def pack_audio(samples: np.ndarray) -> bytes:
@@ -214,6 +247,26 @@ def unpack_codes_msg(payload: bytes, z_dim: int) -> tuple[np.ndarray, int]:
     except ValueError as e:
         raise ProtocolError(str(e)) from e
     return codes, bits
+
+
+def pack_codes_ent_msg(body: bytes, frames: int, bits: int) -> bytes:
+    """Entropy-coded codes frame: same ``<HB`` header as CODES, body = one
+    self-contained rANS payload (``serve/entropy_wire.py``) over the
+    frames' first-``bits`` bits under the stream's adaptive model."""
+    if not 0 <= frames <= 0xFFFF:
+        raise ValueError("at most 65535 frames per CODES_ENT message")
+    if not 0 <= bits <= 0xFF:
+        raise ValueError("bits must be in [0, 255]")
+    return _CODES_HDR.pack(frames, bits) + body
+
+
+def unpack_codes_ent_msg(payload: bytes) -> tuple[int, int, bytes]:
+    """-> (frames, bits, rANS body); the caller decodes with its stream
+    coder (the body is stateful — blocks must be decoded in order)."""
+    if len(payload) < _CODES_HDR.size:
+        raise ProtocolError("bad CODES_ENT length")
+    frames, bits = _CODES_HDR.unpack(payload[: _CODES_HDR.size])
+    return frames, bits, payload[_CODES_HDR.size:]
 
 
 def pack_u16(n: int) -> bytes:

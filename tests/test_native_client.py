@@ -230,3 +230,62 @@ def test_malformed_local_input_rejected(codec, daemon):
     proc = run_native_client("127.0.0.1", daemon.port, "decode", None,
                              b"\x7f\x00\x00\x00\x00", timeout=60)
     assert proc.returncode == 4
+
+
+def test_entropy_encode_decode_pipeline(codec, daemon, rng):
+    """encode-ent -> .bvspf of CODES_ENT_OUT frames -> decode-ent replays
+    them (both stream coders start from the same initial state): decoded
+    audio equals the raw-path decode of the same codes, and the Python
+    client decodes the identical code frames from the same session type."""
+    x = (rng.standard_normal(768 + 256 * 9) * 0.3).astype(np.float32)
+
+    # Python entropy client: the code-frame oracle
+    with CodecClient("127.0.0.1", daemon.port, mode="encode",
+                     bitrate=BITRATE, timeout=300, entropy=True,
+                     entropy_block=4) as c:
+        c.send_audio(x)
+        c.close_input()
+        ref = c.drain()
+
+    proc = run_native_client("127.0.0.1", daemon.port, "encode-ent", BITRATE,
+                             x.astype("<f4").tobytes(), timeout=300)
+    assert proc.returncode == 0, proc.stderr.decode()
+    frames = _parse_bvspf(proc.stdout)
+    assert frames and all(t == P.MSG_CODES_ENT_OUT for t, _ in frames)
+
+    # the native .bvspf decodes (via a mirrored coder) to the same codes
+    from bvsc_tpu.serve.entropy_wire import AdaptiveCodesCoder
+
+    mirror = AdaptiveCodesCoder(codec.conf.z_dim)
+    codes = []
+    for _, payload in frames:
+        n, bits, body = P.unpack_codes_ent_msg(payload)
+        codes.append(mirror.decode_block(body, n, bits))
+    np.testing.assert_array_equal(np.concatenate(codes), ref["codes"])
+
+    # replay the recorded entropy frames through a native decode-ent
+    # session; audio must equal the raw-path decode of the same codes
+    wav_raw = None
+    with CodecClient("127.0.0.1", daemon.port, mode="decode", bitrate=None,
+                     timeout=300) as c:
+        c.send_codes(ref["codes"], bits=ref["bits"][0])
+        c.close_input()
+        wav_raw = c.drain()["audio"]
+    # replay = retype the recorded server frames as client CODES_ENT (the
+    # same 0x82 CODES_OUT -> 0x03 CODES retype the raw pipeline needs)
+    blob = b"".join(struct.pack("<BI", P.MSG_CODES_ENT, len(p)) + p
+                    for _, p in frames)
+    proc = run_native_client("127.0.0.1", daemon.port, "decode-ent", None,
+                             blob, timeout=300)
+    assert proc.returncode == 0, proc.stderr.decode()
+    np.testing.assert_array_equal(np.frombuffer(proc.stdout, "<f4"), wav_raw)
+
+
+def test_entropy_frames_rejected_in_plain_decode(codec, daemon):
+    """A plain (non-negotiated) native decode session must refuse to forward
+    CODES_ENT frames from local input (exit 4 = malformed local input)."""
+    payload = P.pack_codes_ent_msg(b"\0\0\0\0", 1, 4)
+    blob = struct.pack("<BI", P.MSG_CODES_ENT, len(payload)) + payload
+    proc = run_native_client("127.0.0.1", daemon.port, "decode", None,
+                             blob, timeout=300)
+    assert proc.returncode == 4, (proc.returncode, proc.stderr.decode())
