@@ -1,7 +1,7 @@
 """Objective quality metrics used by the reference validation loop
 (``third_party/BigVGAN/train.py:150-227``): L1 mel error, multi-resolution
-STFT loss, PESQ-WB at 16 kHz (optional — skipped if the ``pesq`` package is
-absent, which it is in this image).
+STFT loss, PESQ-WB at 16 kHz (the ITU ``pesq`` wheel when installed, else
+the self-contained P.862.2-style model in :mod:`bvsc_tpu.eval.pesq`).
 """
 
 from __future__ import annotations
@@ -33,8 +33,8 @@ def stoi(ref: np.ndarray, deg: np.ndarray, fs: int = 22050) -> float:
     """Short-Time Objective Intelligibility (Taal et al., ICASSP 2010 /
     IEEE TASLP 2011) — implemented from the paper, no external package.
 
-    The reference validates with PESQ (``train.py:184-191``), which needs
-    the unavailable ``pesq`` wheel; STOI is the standard intelligibility
+    The reference validates with PESQ (``train.py:184-191``), covered here
+    by :func:`pesq_wb_16k`; STOI is the standard intelligibility
     companion metric and is self-contained: 10 kHz resample, 40 dB silent
     -frame removal driven by the clean signal, 512-pt STFT of 256-sample
     Hann frames (hop 128), 15 one-third-octave bands from 150 Hz, 384 ms
@@ -146,15 +146,21 @@ def mcd(frontend: MelFrontend, ref: np.ndarray, deg: np.ndarray,
 
 
 def pesq_wb_16k(ref_22k: np.ndarray, test_22k: np.ndarray, fs: int = 22050):
-    """PESQ wideband at 16 kHz (reference ``train.py:184-191``).  Returns
-    None when the ``pesq`` package is unavailable."""
-    try:
-        from pesq import pesq as _pesq
-    except ImportError:
-        return None
+    """PESQ wideband at 16 kHz (reference ``train.py:184-191``).
+
+    Prefers the ITU-conformant ``pesq`` wheel when one is installed; falls
+    back to the self-contained P.862.2-style implementation
+    (:mod:`bvsc_tpu.eval.pesq` — see its module docstring for the
+    conformance caveats and the validation evidence)."""
     import scipy.signal
 
     ref16 = scipy.signal.resample_poly(np.asarray(ref_22k, np.float64), 16000, fs)
     test16 = scipy.signal.resample_poly(np.asarray(test_22k, np.float64), 16000, fs)
+    try:
+        from pesq import pesq as _pesq
+    except ImportError:
+        from bvsc_tpu.eval.pesq import pesq_wb
+
+        return pesq_wb(ref16, test16, 16000)
     to_i16 = lambda x: (np.clip(x, -1, 1) * 32768.0).astype(np.int16)
     return float(_pesq(16000, to_i16(ref16), to_i16(test16), "wb"))
