@@ -388,3 +388,28 @@ def fold_generator_params(params: Params) -> Params:
         return p
 
     return fold(params)
+
+
+def unfold_generator_params(params: Params) -> Params:
+    """Inverse of :func:`fold_generator_params` for trainer warm starts:
+    re-parametrize folded 'w' convs as weight norm with g = ||w|| (per
+    output channel), v = w — exactly torch's ``weight_norm`` init from
+    existing weights, so fold(unfold(w)) == w."""
+    import jax.numpy as jnp
+
+    def unfold(p):
+        if isinstance(p, dict) and "w" in p and "g" not in p:
+            w = p["w"]
+            axes = tuple(range(1, w.ndim))
+            out = {"g": jnp.sqrt(jnp.sum(w * w, axis=axes, keepdims=True)),
+                   "v": w}
+            if "b" in p:
+                out["b"] = p["b"]
+            return out
+        if isinstance(p, dict):
+            return {k: unfold(v) for k, v in p.items()}
+        if isinstance(p, list):
+            return [unfold(v) for v in p]
+        return p
+
+    return unfold(params)

@@ -18,8 +18,8 @@ variants) plus the raw human ratings.  This harness:
 
 Usage:
   python scripts/compare_reference_conditions.py \
-      --bvrnn_checkpoint chkpts/bvsc_bvrnn_demo_aug_step1000_f16.npz \
-      --vocoder_checkpoint chkpts/bvsc_vocoder_demo_ftbvrnn_g_step2400 \
+      --bvrnn_checkpoint chkpts/bvsc_bvrnn_demo_cl_step1300_f16.npz \
+      --vocoder_checkpoint chkpts/bvsc_vocoder_demo_cl_ft_g_step600 \
       --bitrates 1378 5512
 
 ``--skip_ours`` scores only the published conditions (no model run).

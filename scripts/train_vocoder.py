@@ -57,6 +57,11 @@ def parse_args(argv=None):
                         "counters overfitting on tiny corpora; incompatible "
                         "with --fine_tuning (precomputed mels would desync "
                         "from the augmented waveform)")
+    p.add_argument("--init_generator", default=None,
+                   help="warm-start the generator from a g_ checkpoint or "
+                        "exported npz (fresh discriminators/optimizers); "
+                        "folded inference weights are re-parametrized as "
+                        "weight norm.  Ignored when the run auto-resumes.")
     p.add_argument("--audio_scale", type=float, default=None,
                    help="multiply target audio by this; defaults to the "
                         "codec's -10 dB SCALING in --fine_tuning mode (the "
@@ -168,6 +173,23 @@ def main(argv=None):
     if restored is not None:
         trainer.state = restored
         print(f"resumed from step {start_step}")
+    elif args.init_generator:
+        # warm-start the generator from a g_ checkpoint (fresh
+        # discriminators/optimizers) — the fine-tune lineage when only the
+        # shipped generator artifact exists.  Folded inference weights are
+        # re-parametrized as weight norm (fold(unfold(w)) == w).
+        import dataclasses as _dc
+
+        from bvsc_tpu.models.vocoder import unfold_generator_params
+        from bvsc_tpu.train.checkpoint import restore_pytree
+
+        tree = restore_pytree(args.init_generator)
+        gen = tree["generator"] if isinstance(tree, dict) and "generator" in tree else tree
+        if isinstance(gen, dict) and "conv_pre" in gen and "g" not in gen["conv_pre"]:
+            gen = unfold_generator_params(gen)
+        gen = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float32), gen)
+        trainer.state = _dc.replace(trainer.state, gen=gen)
+        print(f"generator warm-started from {args.init_generator}")
 
     with open(args.input_training_file) as f:
         train_files = [

@@ -127,6 +127,17 @@ def test_weight_norm_training_params_match_folded():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
 
 
+def test_unfold_generator_params_roundtrip():
+    """unfold re-parametrizes folded weights as weight norm exactly:
+    fold(unfold(w)) == w (trainer warm starts from inference artifacts)."""
+    cfg = tiny_cfg()
+    folded = jvoc.fold_generator_params(
+        jvoc.init_generator_params(jax.random.key(3), cfg, weight_norm=True))
+    again = jvoc.fold_generator_params(jvoc.unfold_generator_params(folded))
+    for a, b in zip(jax.tree.leaves(folded), jax.tree.leaves(again)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 # --- op-level parity ---------------------------------------------------------
 
 
