@@ -13,8 +13,8 @@ in this image; STOI needs no external package).
 Usage:
   python scripts/evaluate_codec.py \
       --stimuli_dir /root/reference/mushra_results_dataset/audio \
-      --bvrnn_checkpoint chkpts/bvsc_bvrnn_demo_step3000_f16.npz \
-      --vocoder_checkpoint chkpts/bvsc_vocoder_demo_ftbvrnn_g_step2400 \
+      --bvrnn_checkpoint chkpts/bvsc_bvrnn_demo_cl_step1300_f16.npz \
+      --vocoder_checkpoint chkpts/bvsc_vocoder_demo_cl_ft_g_step600 \
       --bitrates 1378 5512
 
 With no checkpoints it evaluates random-init weights (useful only as a
