@@ -397,9 +397,15 @@ def test_slow_reader_evicted_without_stalling_others(codec, rng):
 
     x = (rng.standard_normal(768 + 256 * 40) * 0.3).astype(np.float32)
     codes_ref, wav_ref = solo_engine_run(codec, x, BITRATE)
+    # the stalled peer gets a LONGER input than the healthy one: its output
+    # (~200 KB) overflows the 64 KB send queue even if the send timeout
+    # races, while the healthy stream's ~44 KB output can NEVER overflow it
+    # — so a CPU-starved writer thread (loaded 1-core CI host) cannot evict
+    # the healthy reader and flake the test
+    x_stalled = (rng.standard_normal(768 + 256 * 200) * 0.3).astype(np.float32)
 
-    with CodecDaemon(codec, port=0, max_streams=4, send_queue_bytes=2048,
-                     send_timeout=1.0, sndbuf=4096) as d:
+    with CodecDaemon(codec, port=0, max_streams=4, send_queue_bytes=65536,
+                     send_timeout=2.0, sndbuf=4096) as d:
         # raw stalled peer with a tiny receive buffer (set before connect),
         # so the kernel absorbs only a few frames before backpressure hits
         s = socket.socket()
@@ -410,7 +416,7 @@ def test_slow_reader_evicted_without_stalling_others(codec, rng):
             P.write_msg(s, P.MSG_HELLO, P.pack_hello(P.MODE_RESYNTH, BITRATE))
             msg = P.read_msg(s)
             assert msg is not None and msg[0] == P.MSG_OPENED
-            P.write_msg(s, P.MSG_AUDIO, P.pack_audio(x))  # then never read
+            P.write_msg(s, P.MSG_AUDIO, P.pack_audio(x_stalled))  # never read
 
             # healthy client on the same daemon completes normally while
             # the stalled stream is wedging its own writer
