@@ -58,10 +58,29 @@ class BVRNNCodecModel:
         precision: str = "highest",
         quantize: str | None = None,
         use_pallas: bool | None = None,
+        approx_snake: bool | None = None,
+        voc_dtype: str | None = None,
     ):
         """precision: 'highest' (reference-parity f32 matmul passes) or
         'default' (single-pass bf16 MXU — ~4x faster scans / ~2.5x faster
         vocoder; codes may differ in rare near-0.5 rounding cases).
+
+        approx_snake: polynomial sin^2 snake activations in the vocoder
+        (``ops.snake.sin_sq_approx``; <2e-4 abs activation error, ~2x the
+        snake pass — snake is ~80% of generator time on this chip).  None
+        (default) ties it to the precision knob: ON for 'default' (fast
+        serving — the approximation error is far below the documented
+        ~1e-3 bf16 output difference), OFF for 'highest' (reference
+        parity).  Pass an explicit bool to override either way.
+
+        voc_dtype: 'f32' or 'bf16' — activation/weight dtype for the
+        vocoder segment only (codes are computed by the BVRNN scans and
+        are unaffected).  None ties it to the precision knob like
+        approx_snake: 'bf16' for 'default', 'f32' for 'highest'.  With
+        approx_snake the elementwise passes become byte-bound, so bf16
+        halves them (41.9 vs 64.1 ms for the B=128 4 s generator;
+        waveform error vs f32-exact is ~1.1e-4 — the same contract as
+        the bf16 MXU passes; benchmarks/probe_fast_snake.py).
 
         quantize: None, 'int8', or 'int8_mixed' — weight-only int8 BVRNN
         weights (per-channel scales; ~2.5x faster HBM-bound single-stream
@@ -86,6 +105,15 @@ class BVRNNCodecModel:
         self.precision = (
             jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT
+        )
+        self.approx_snake = (
+            bool(approx_snake) if approx_snake is not None
+            else self.precision == jax.lax.Precision.DEFAULT
+        )
+        if voc_dtype not in (None, "f32", "bf16"):
+            raise ValueError(f"voc_dtype must be 'f32' or 'bf16', got {voc_dtype!r}")
+        self.voc_dtype = voc_dtype if voc_dtype is not None else (
+            "bf16" if self.precision == jax.lax.Precision.DEFAULT else "f32"
         )
 
         self.bvrnn_cfg = bvrnn_mod.BVRNNConfig(
@@ -166,18 +194,18 @@ class BVRNNCodecModel:
         )
         self._decode_jit = jax.jit(
             functools.partial(_decode_impl, bcfg=self.bvrnn_cfg),
-            static_argnames=("vcfg", "length", "pallas_compute"),
+            static_argnames=("vcfg", "length", "pallas_compute", "approx_snake", "voc_dtype"),
         )
         self._decode_mel_jit = jax.jit(
             functools.partial(_decode_mel_impl, cfg=self.bvrnn_cfg)
         )
         self._decode_plc_jit = jax.jit(
             functools.partial(_decode_plc_impl, bcfg=self.bvrnn_cfg),
-            static_argnames=("vcfg", "length", "mode", "pallas_compute"),
+            static_argnames=("vcfg", "length", "mode", "pallas_compute", "approx_snake", "voc_dtype"),
         )
         self._forward_jit = jax.jit(
             functools.partial(_forward_impl, bcfg=self.bvrnn_cfg),
-            static_argnames=("frontend", "vcfg", "length", "pallas_compute"),
+            static_argnames=("frontend", "vcfg", "length", "pallas_compute", "approx_snake", "voc_dtype"),
         )
 
     # -- helpers ------------------------------------------------------------
@@ -312,6 +340,8 @@ class BVRNNCodecModel:
                     "bf16" if self.precision == jax.lax.Precision.DEFAULT
                     else "f32"
                 ),
+                approx_snake=self.approx_snake,
+                voc_dtype=self.voc_dtype,
             )
         else:
             y = self._decode_jit(
@@ -324,6 +354,8 @@ class BVRNNCodecModel:
                 pallas_compute=(
                     "bf16" if self.precision == jax.lax.Precision.DEFAULT else "f32"
                 ),
+                approx_snake=self.approx_snake,
+                voc_dtype=self.voc_dtype,
             )
         y = y[:, :length]
         return y[0] if squeeze else y
@@ -391,6 +423,8 @@ class BVRNNCodecModel:
             pallas_compute=(
                 "bf16" if self.precision == jax.lax.Precision.DEFAULT else "f32"
             ),
+            approx_snake=self.approx_snake,
+            voc_dtype=self.voc_dtype,
         )
         y = y[:, :length]
         return y[0] if squeeze else y
@@ -423,7 +457,8 @@ def _encode_impl(params, x, bits_per_frame, *, cfg, frontend):
 
 def _forward_impl(
     params, voc_params, x, bits_per_frame, n_frames, kernel_blocks=None, *,
-    bcfg, vcfg, frontend, length, pallas_compute="bf16",
+    bcfg, vcfg, frontend, length, pallas_compute="bf16", approx_snake=False,
+    voc_dtype="f32",
 ):
     """Fused resynthesis: mel -> encode_decode scan -> vocoder, one program.
 
@@ -451,10 +486,25 @@ def _forward_impl(
             ),
         )
     else:
+        voc_params, dec_mel = _voc_cast(voc_params, dec_mel, voc_dtype)
         wav = voc_mod.generator_apply(
             voc_params, vcfg, dec_mel, length, precision=bcfg.precision,
+            approx_snake=approx_snake,
         )
-    return wav[:, 0, :] / SCALING
+    return wav[:, 0, :].astype(jnp.float32) / SCALING
+
+
+def _voc_cast(voc_params, mel, voc_dtype):
+    """Cast the vocoder segment to bf16 for the fast serving path (the
+    BVRNN scans and their codes are untouched; waveform is cast back to
+    f32 by the caller).  The in-jit weight cast is one fused ~0.2 ms
+    convert pass — negligible against the ~42 ms generator."""
+    if voc_dtype == "bf16":
+        return (
+            jax.tree.map(lambda a: a.astype(jnp.bfloat16), voc_params),
+            mel.astype(jnp.bfloat16),
+        )
+    return voc_params, mel
 
 
 def _decode_mel_impl(params, codes, *, cfg):
@@ -467,7 +517,8 @@ def _decode_mel_impl(params, codes, *, cfg):
 
 def _decode_plc_impl(
     params, voc_params, codes, lost, conceal_bits, kernel_blocks=None, *,
-    bcfg, vcfg, length, mode="expect", pallas_compute="bf16",
+    bcfg, vcfg, length, mode="expect", pallas_compute="bf16", approx_snake=False,
+    voc_dtype="f32",
 ):
     """Decode with prior-based packet-loss concealment (models.bvrnn.decode_plc)."""
     B = codes.shape[0]
@@ -485,15 +536,17 @@ def _decode_plc_impl(
             ),
         )
     else:
+        voc_params, mel = _voc_cast(voc_params, mel, voc_dtype)
         wav = voc_mod.generator_apply(
             voc_params, vcfg, mel, length, precision=bcfg.precision,
+            approx_snake=approx_snake,
         )
-    return wav[:, 0, :] / SCALING
+    return wav[:, 0, :].astype(jnp.float32) / SCALING
 
 
 def _decode_impl(
     params, voc_params, codes, kernel_blocks=None, *, bcfg, vcfg, length,
-    pallas_compute="bf16",
+    pallas_compute="bf16", approx_snake=False, voc_dtype="f32",
 ):
     B = codes.shape[0]
     h0 = jnp.zeros((B, bcfg.h_dim), bcfg.dtype)
@@ -508,10 +561,12 @@ def _decode_impl(
             ),
         )
     else:
+        voc_params, mel = _voc_cast(voc_params, mel, voc_dtype)
         wav = voc_mod.generator_apply(
             voc_params, vcfg, mel, length, precision=bcfg.precision,
+            approx_snake=approx_snake,
         )
-    return wav[:, 0, :] / SCALING
+    return wav[:, 0, :].astype(jnp.float32) / SCALING
 
 
 # ---------------------------------------------------------------------------

@@ -120,12 +120,14 @@ def _amp_block(
     symmetric: bool,
     antialias: bool,
     precision=None,
+    approx_snake: bool = False,
 ) -> jax.Array:
     """AMP residual block (reference ``models.py:103-121``)."""
 
     def act(xv, p):
         fn = lambda v: apply_activation(v, p, kind=cfg.activation,
-                                        logscale=cfg.snake_logscale)
+                                        logscale=cfg.snake_logscale,
+                                        approx=approx_snake)
         if antialias and cfg.activation in ("snake", "snakebeta"):
             return Activation1d(fn)(xv)
         return fn(xv)
@@ -146,7 +148,7 @@ def _amp_block(
 
 def generator_apply(
     params: Params, cfg: VocoderConfig, x: jax.Array, length: int | None = None,
-    precision=None, *, remat: bool = False,
+    precision=None, *, remat: bool = False, approx_snake: bool = False,
 ) -> jax.Array:
     """Mel (B, num_mels, T) -> waveform (B, 1, length)
     (reference ``models.py:207-238``).
@@ -154,6 +156,10 @@ def generator_apply(
     precision: None -> ops.conv.DEFAULT_PRECISION (HIGHEST, reference
     parity); pass jax.lax.Precision.DEFAULT for the fast serving path
     (bf16 MXU passes, ~2.5x faster, output differs at ~1e-3).
+
+    approx_snake: polynomial sin^2 snake (``ops.snake.sin_sq_approx``) —
+    snake is ~80% of generator time on this chip; the poly is ~2x (f32) /
+    3.3x (bf16) faster at <2e-4 abs activation error.
 
     remat: rematerialise each residual block under ``jax.grad`` — forward
     math is identical; the backward pass recomputes resblock intermediates
@@ -185,6 +191,7 @@ def generator_apply(
             block_fn = functools.partial(
                 _amp_block, cfg=cfg, kernel_size=ksz, dilations=dil,
                 symmetric=sym, antialias=aa, precision=precision,
+                approx_snake=approx_snake,
             )
             if remat:
                 block_fn = jax.checkpoint(block_fn)
@@ -194,7 +201,8 @@ def generator_apply(
 
     def post_act(xv):
         fn = lambda v: apply_activation(v, params["act_post"], kind=cfg.activation,
-                                        logscale=cfg.snake_logscale)
+                                        logscale=cfg.snake_logscale,
+                                        approx=approx_snake)
         if cfg.antialias_post and cfg.activation in ("snake", "snakebeta"):
             return Activation1d(fn)(xv)
         return fn(xv)
@@ -317,7 +325,7 @@ def prepare_folded_params(params: Params, cfg: VocoderConfig, dtype=jnp.float32)
 
 def generator_apply_folded(
     params: Params, cfg: VocoderConfig, x: jax.Array, length: int | None = None,
-    precision=None,
+    precision=None, *, approx_snake: bool = False,
 ) -> jax.Array:
     """Fast-path generator: identical math to :func:`generator_apply` with
     the residual stacks run space-to-depth folded.  ``params`` from
@@ -347,11 +355,13 @@ def generator_apply_folded(
                 D1 = -((-(ksz - 1) * dils[jj]) // s)
                 D2 = -((-(ksz - 1)) // s)
                 xt = apply_activation(xb, fb["acts"][2 * jj], kind=cfg.activation,
-                                      logscale=cfg.snake_logscale)
+                                      logscale=cfg.snake_logscale,
+                                      approx=approx_snake)
                 xt = pad1d(xt, D1, 0)
                 xt = conv1d(xt, fb["convs1"][jj], precision=precision)
                 xt = apply_activation(xt, fb["acts"][2 * jj + 1], kind=cfg.activation,
-                                      logscale=cfg.snake_logscale)
+                                      logscale=cfg.snake_logscale,
+                                      approx=approx_snake)
                 xt = pad1d(xt, D2, 0)
                 xt = conv1d(xt, fb["convs2"][jj], precision=precision)
                 xb = xt + xb
@@ -361,7 +371,7 @@ def generator_apply_folded(
             x = x[..., :T]
 
     x = apply_activation(x, params["act_post"], kind=cfg.activation,
-                         logscale=cfg.snake_logscale)
+                         logscale=cfg.snake_logscale, approx=approx_snake)
     x = pad1d(x, 6, 0)
     x = conv1d(x, params["conv_post"], precision=precision)
     x = jnp.tanh(x)

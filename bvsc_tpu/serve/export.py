@@ -164,12 +164,16 @@ def export_serving_bundle(
 
         def dec_fn(p, vp, codes, Lp=Lp):
             return _decode_impl(p, vp, codes, None, bcfg=bcfg, vcfg=vcfg,
-                                length=Lp, pallas_compute="f32")
+                                length=Lp, pallas_compute="f32",
+                                approx_snake=codec.approx_snake,
+                                voc_dtype=codec.voc_dtype)
 
         def fwd_fn(p, vp, x, bits, n_frames, Lp=Lp):
             return _forward_impl(p, vp, x, bits, n_frames, None, bcfg=bcfg,
                                  vcfg=vcfg, frontend=frontend, length=Lp,
-                                 pallas_compute="f32")
+                                 pallas_compute="f32",
+                                 approx_snake=codec.approx_snake,
+                                 voc_dtype=codec.voc_dtype)
 
         def voc_fn(vp, mel, Lp=Lp):
             # standalone mel -> waveform (scripts/synthesize.py semantics:
@@ -177,7 +181,8 @@ def export_serving_bundle(
             from bvsc_tpu.models import vocoder as voc_mod
 
             return voc_mod.generator_apply(
-                vp, vcfg, mel, Lp, precision=bcfg.precision
+                vp, vcfg, mel, Lp, precision=bcfg.precision,
+                approx_snake=codec.approx_snake,
             )[:, 0, :]
 
         ms = jax.ShapeDtypeStruct((B, conf.num_mels, Tp), f32)

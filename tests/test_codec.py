@@ -284,3 +284,27 @@ def test_checkpoint_loading_paths(tmp_path):
         np.asarray(fold_weight_norm(wn["conv_pre"]["g"], wn["conv_pre"]["v"])),
         rtol=1e-6,
     )
+
+
+def test_fast_serving_path_close_to_parity(small_codec_and_refs):
+    """precision='default' (bf16 MXU + approx snake + bf16 vocoder segment)
+    stays within the documented fast-path output contract of the parity
+    path on the same codes, and still emits f32 waveform."""
+    codec, _, _, conf = small_codec_and_refs
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((1, 4096)) * 0.3).astype(np.float32)
+    fast = BVRNNCodecModel(
+        config=conf,
+        bvrnn_params=codec.bvrnn_params,
+        vocoder_params=codec.vocoder_params,
+        length_bucket=16,
+        precision="default",
+    )
+    assert fast.approx_snake and fast.voc_dtype == "bf16"
+    codes = codec.encode(x, 3000)
+    y_par = np.asarray(codec.decode(codes, x.shape[1]))
+    y_fast = np.asarray(fast.decode(codes, x.shape[1]))
+    assert y_fast.dtype == np.float32
+    assert y_fast.shape == y_par.shape
+    # tanh-bounded waveform; bf16 contract is ~1e-3 typical
+    assert np.abs(y_par - y_fast).max() < 2e-2

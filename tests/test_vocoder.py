@@ -245,3 +245,61 @@ def test_fold_ops_roundtrip_and_conv_equivalence(rng):
         got = unfold_time(yf, s)
         np.testing.assert_allclose(np.asarray(got), np.asarray(direct), atol=1e-5,
                                    err_msg=f"d={d} s={s}")
+
+
+def test_sin_sq_approx_accuracy(rng):
+    """Polynomial sin^2 (the fast-serving snake) vs f64 ground truth."""
+    u = np.concatenate([
+        rng.standard_normal(100000).astype(np.float32) * 3,
+        rng.standard_normal(10000).astype(np.float32) * 30,
+        np.linspace(-300, 300, 10000, dtype=np.float32),
+    ])
+    ref = np.sin(np.float64(u)) ** 2
+    got = np.asarray(jsnake.sin_sq_approx(jnp.asarray(u)), np.float64)
+    assert np.abs(got - ref).max() < 2e-4
+
+
+def test_generator_approx_snake_close(rng):
+    """approx_snake output stays within the fast-serving error contract,
+    and the knob actually reaches the compute graph (no transcendental sin
+    left in the approx program)."""
+    cfg = tiny_cfg()
+    params = jvoc.init_generator_params(jax.random.key(3), cfg, weight_norm=False)
+    mel = jnp.asarray(rng.standard_normal((2, cfg.num_mels, 17)), jnp.float32)
+    exact = np.asarray(jvoc.generator_apply(params, cfg, mel, 17 * 8))
+    approx = np.asarray(
+        jvoc.generator_apply(params, cfg, mel, 17 * 8, approx_snake=True)
+    )
+    assert np.abs(exact - approx).max() < 5e-3  # inside the bf16 serving contract
+
+    jpr_exact = str(jax.make_jaxpr(
+        lambda p, m: jvoc.generator_apply(p, cfg, m, 17 * 8))(params, mel))
+    jpr_approx = str(jax.make_jaxpr(
+        lambda p, m: jvoc.generator_apply(p, cfg, m, 17 * 8, approx_snake=True)
+    )(params, mel))
+    assert " sin " in jpr_exact
+    assert " sin " not in jpr_approx
+    assert " round " in jpr_approx
+
+
+def test_codec_approx_snake_knob():
+    """Fast-path knob defaults tie to precision: 'default' -> approx snake
+    + bf16 vocoder, 'highest' -> exact f32; explicit overrides win."""
+    import dataclasses
+
+    from bvsc_tpu.codec import BVRNNCodecModel
+    from bvsc_tpu.config import CodecConfig
+
+    conf = dataclasses.replace(
+        CodecConfig(h_dim=16, z_dim=8, num_mels=8), vocoder_config=tiny_cfg()
+    )
+    kw = dict(config=conf)
+    parity = BVRNNCodecModel(**kw)
+    assert not parity.approx_snake and parity.voc_dtype == "f32"
+    fast = BVRNNCodecModel(precision="default", **kw)
+    assert fast.approx_snake and fast.voc_dtype == "bf16"
+    assert BVRNNCodecModel(precision="default", approx_snake=False, **kw).approx_snake is False
+    assert BVRNNCodecModel(approx_snake=True, **kw).approx_snake is True
+    assert BVRNNCodecModel(precision="default", voc_dtype="f32", **kw).voc_dtype == "f32"
+    with pytest.raises(ValueError):
+        BVRNNCodecModel(voc_dtype="fp8", **kw)
