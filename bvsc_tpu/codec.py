@@ -62,16 +62,23 @@ class BVRNNCodecModel:
         voc_dtype: str | None = None,
     ):
         """precision: 'highest' (reference-parity f32 matmul passes) or
-        'default' (single-pass bf16 MXU — ~4x faster scans / ~2.5x faster
-        vocoder; codes may differ in rare near-0.5 rounding cases).
+        'default' — the fast serving config: single-pass bf16 MXU matmuls
+        AND (since r3) approx_snake + a bf16 vocoder segment by default.
+        Codes may differ in rare near-0.5 rounding cases (~99.9%
+        agreement); the waveform contract for the full 'default' stack is
+        ~2e-2 max abs error vs parity mode (tests/test_codec.py
+        test_fast_serving_mode) — bf16-MXU-only numerics (~1e-3) are
+        available via precision='default', approx_snake=False,
+        voc_dtype='f32'.  The same knobs now apply on EVERY serving path:
+        offline decode/forward, streaming (FusedPacketCodec,
+        StreamingDecoder), the batched engines, and exported bundles.
 
         approx_snake: polynomial sin^2 snake activations in the vocoder
         (``ops.snake.sin_sq_approx``; <2e-4 abs activation error, ~2x the
         snake pass — snake is ~80% of generator time on this chip).  None
-        (default) ties it to the precision knob: ON for 'default' (fast
-        serving — the approximation error is far below the documented
-        ~1e-3 bf16 output difference), OFF for 'highest' (reference
-        parity).  Pass an explicit bool to override either way.
+        (default) ties it to the precision knob: ON for 'default', OFF for
+        'highest' (reference parity).  Pass an explicit bool to override
+        either way.  Not compatible with use_pallas (exact-snake kernels).
 
         voc_dtype: 'f32' or 'bf16' — activation/weight dtype for the
         vocoder segment only (codes are computed by the BVRNN scans and
@@ -172,6 +179,25 @@ class BVRNNCodecModel:
             raise ValueError(f"unknown quantize mode {quantize!r}")
 
         self.use_pallas = bool(use_pallas) if use_pallas is not None else False
+        if self.use_pallas:
+            # the Pallas resblock kernels have their own compute-dtype knob
+            # (pallas_compute, tied to `precision`) and exact snake math —
+            # approx_snake / voc_dtype do not apply on that path.  Explicit
+            # requests would otherwise be silently ignored; reset the
+            # precision-derived defaults instead so self.* reflects what
+            # actually runs.
+            if approx_snake:
+                raise ValueError(
+                    "approx_snake=True is not supported with use_pallas "
+                    "(the Pallas kernels compute exact snake); drop one"
+                )
+            if voc_dtype is not None:
+                raise ValueError(
+                    "voc_dtype is not supported with use_pallas (the Pallas "
+                    "path's compute dtype follows `precision`); drop one"
+                )
+            self.approx_snake = False
+            self.voc_dtype = "f32"
         if self.use_pallas:
             from bvsc_tpu.ops.pallas_voc import pallas_stack_supported
 

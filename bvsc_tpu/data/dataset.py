@@ -76,12 +76,22 @@ class AudioSegmentDataset:
         augment: dict | None = None,
     ):
         """augment (train-split only; the reference has no augmentation):
-        optional dict enabling on-the-fly waveform augmentation per fetch —
-        ``{"speed": (lo, hi)}`` resamples by a random factor (polyphase,
-        rational p/100 approximation; changes duration AND pitch like
-        classic speed perturbation), ``{"gain_db": (lo, hi)}`` scales by a
-        random gain (a constant shift of the log-mel — counters overfitting
-        of the frozen mel statistics on tiny corpora)."""
+        optional dict enabling on-the-fly waveform augmentation per fetch.
+        Always-on keys (value = (lo, hi) uniform range):
+          ``speed``: polyphase resample by a random factor (rational p/100
+            approximation; changes duration AND pitch — classic speed
+            perturbation),
+          ``gain_db``: random gain (a constant shift of the log-mel —
+            counters overfitting of the frozen mel statistics).
+        Probability-gated keys (each ``<name>`` has a ``<name>_p``
+        probability, default 0.5/0.3/0.3):
+          ``noise_snr_db``: additive white Gaussian noise at a random SNR,
+          ``reverb_rt60``: convolve with a synthetic exponentially-decaying
+            noise RIR of random RT60 seconds (direct path preserved; output
+            re-peaked to the dry level),
+          ``pitch_semitones``: pitch shift WITHOUT duration change
+            (polyphase resample + WSOLA time-stretch back) — decorrelates
+            pitch from timing, unlike ``speed`` which moves both."""
         self.audio_files = list(audio_files)
         rng = random.Random(seed)
         if shuffle:
@@ -96,7 +106,12 @@ class AudioSegmentDataset:
         self._rng = np.random.default_rng(seed)
         self.augment = dict(augment) if augment else None
         if self.augment:
-            unknown = set(self.augment) - {"speed", "gain_db"}
+            unknown = set(self.augment) - {
+                "speed", "gain_db",
+                "noise_snr_db", "noise_p",
+                "reverb_rt60", "reverb_p",
+                "pitch_semitones", "pitch_p",
+            }
             if unknown:
                 raise ValueError(f"unknown augment keys {sorted(unknown)}")
         # wav cache (reference meldataset.py:145-171): serve the same decoded
@@ -196,6 +211,25 @@ class AudioSegmentDataset:
                 audio = scipy.signal.resample_poly(
                     audio.astype(np.float64), 100, p
                 ).astype(np.float32)
+        pitch = self.augment.get("pitch_semitones")
+        if pitch and self._rng.uniform() < self.augment.get("pitch_p", 0.3):
+            from bvsc_tpu.data.augment import pitch_shift
+
+            audio = pitch_shift(audio, float(self._rng.uniform(*pitch)))
+        rt60 = self.augment.get("reverb_rt60")
+        if rt60 and self._rng.uniform() < self.augment.get("reverb_p", 0.3):
+            from bvsc_tpu.data.augment import synthetic_reverb
+
+            audio = synthetic_reverb(
+                audio, float(self._rng.uniform(*rt60)), self.sampling_rate,
+                self._rng,
+            )
+        snr = self.augment.get("noise_snr_db")
+        if snr and self._rng.uniform() < self.augment.get("noise_p", 0.5):
+            from bvsc_tpu.data.augment import add_noise_snr
+
+            audio = add_noise_snr(audio, float(self._rng.uniform(*snr)),
+                                  self._rng)
         gain_db = self.augment.get("gain_db")
         if gain_db:
             audio = audio * np.float32(

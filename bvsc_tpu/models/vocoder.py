@@ -154,8 +154,11 @@ def generator_apply(
     (reference ``models.py:207-238``).
 
     precision: None -> ops.conv.DEFAULT_PRECISION (HIGHEST, reference
-    parity); pass jax.lax.Precision.DEFAULT for the fast serving path
-    (bf16 MXU passes, ~2.5x faster, output differs at ~1e-3).
+    parity); pass jax.lax.Precision.DEFAULT for bf16 MXU passes
+    (~2.5x faster, output differs at ~1e-3 with f32 activations; the full
+    fast serving stack — bf16 MXU + approx_snake + bf16 activations, what
+    ``BVRNNCodecModel(precision='default')`` runs — is bounded at ~2e-2,
+    tests/test_codec.py::test_fast_serving_mode).
 
     approx_snake: polynomial sin^2 snake (``ops.snake.sin_sq_approx``) —
     snake is ~80% of generator time on this chip; the poly is ~2x (f32) /

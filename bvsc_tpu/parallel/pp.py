@@ -94,6 +94,7 @@ def pipeline_resynth(
     *,
     axis_name: str = PIPE_AXIS,
     precision=None,
+    approx_snake: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Microbatched, pipelined resynthesis (codes + waveform).
 
@@ -154,7 +155,7 @@ def pipeline_resynth(
         def run_stage1(recv):
             wav = jvoc.generator_apply(
                 vparams, vcfg, jnp.swapaxes(recv, 1, 2), t_frames * up,
-                precision=precision,
+                precision=precision, approx_snake=approx_snake,
             )
             return (
                 jnp.zeros((m_sz, t_frames, x_dim), mel_all.dtype),

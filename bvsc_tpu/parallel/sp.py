@@ -113,7 +113,7 @@ def _sp_conv_transpose(x, p, stride, axis_name, n_shards, precision):
 
 
 def _generator_sp_local(params, cfg: VocoderConfig, mel, axis_name, n_shards,
-                        precision):
+                        precision, approx_snake=False):
     """Per-shard generator body (runs inside shard_map).  Mirrors
     ``streaming.generator_stream_step`` with every state carry replaced by a
     neighbor halo exchange."""
@@ -132,14 +132,14 @@ def _generator_sp_local(params, cfg: VocoderConfig, mel, axis_name, n_shards,
             for jj, d in enumerate(dils):
                 xt = apply_activation(
                     xb, rparams["acts"][2 * jj], kind=cfg.activation,
-                    logscale=cfg.snake_logscale,
+                    logscale=cfg.snake_logscale, approx=approx_snake,
                 )
                 xt = _sp_conv(
                     xt, rparams["convs1"][jj], d, axis_name, n_shards, precision
                 )
                 xt = apply_activation(
                     xt, rparams["acts"][2 * jj + 1], kind=cfg.activation,
-                    logscale=cfg.snake_logscale,
+                    logscale=cfg.snake_logscale, approx=approx_snake,
                 )
                 xt = _sp_conv(
                     xt, rparams["convs2"][jj], 1, axis_name, n_shards, precision
@@ -148,7 +148,8 @@ def _generator_sp_local(params, cfg: VocoderConfig, mel, axis_name, n_shards,
             xs = xb if xs is None else xs + xb
         x = xs / num_k
     x = apply_activation(
-        x, params["act_post"], kind=cfg.activation, logscale=cfg.snake_logscale
+        x, params["act_post"], kind=cfg.activation, logscale=cfg.snake_logscale,
+        approx=approx_snake,
     )
     x = _sp_conv(x, params["conv_post"], 1, axis_name, n_shards, precision)
     return jnp.tanh(x)
@@ -162,6 +163,7 @@ def generator_apply_sp(
     *,
     axis_name: str = SEQ_AXIS,
     precision=None,
+    approx_snake: bool = False,
 ) -> jax.Array:
     """Sequence-parallel causal generator: mel (B, num_mels, T) with T
     divisible by the ``seq`` axis size -> waveform (B, 1, T * prod(rates)).
@@ -173,7 +175,9 @@ def generator_apply_sp(
     stage's rate (the default config's k=11, d=5 stage-0 conv ⇒
     T/shards >= 7).  A too-short shard raises the 'sequence shard too
     short for halo' ValueError.  Weight-norm-folded inference params
-    (``fold_generator_params``).
+    (``fold_generator_params``).  ``precision`` / ``approx_snake`` mirror
+    ``models.vocoder.generator_apply`` so a fast codec's serving numerics
+    carry over when its generator is sequence-sharded.
     """
     if any(cfg.layers_sym) or cfg.pre_sym or cfg.post_sym:
         raise ValueError("sequence parallelism requires a fully causal config")
@@ -188,7 +192,8 @@ def generator_apply_sp(
         )
 
     def local(p, m):
-        return _generator_sp_local(p, cfg, m, axis_name, n_shards, precision)
+        return _generator_sp_local(p, cfg, m, axis_name, n_shards, precision,
+                                   approx_snake)
 
     # compose with stream batching on a 2-D (data x seq) mesh: shard the
     # batch dim over "data" when the mesh has that axis (cf. tp._batch_spec)

@@ -36,7 +36,11 @@ import numpy as np
 from bvsc_tpu.codec import SCALING, BVRNNCodecModel
 from bvsc_tpu.models import bvrnn as bvrnn_mod
 from bvsc_tpu.ops.mel import dynamic_range_compression
-from bvsc_tpu.streaming import generator_stream_init, generator_stream_step
+from bvsc_tpu.streaming import (
+    generator_stream_init,
+    generator_stream_step,
+    voc_state_dtype,
+)
 
 
 class EngineStateLost(RuntimeError):
@@ -96,7 +100,8 @@ class _SampleQueue:
 
 
 def _fused_tick_impl(
-    params, voc_params, state, chunk, bits, active, *, bcfg, vcfg, frontend
+    params, voc_params, state, chunk, bits, active, *, bcfg, vcfg, frontend,
+    approx_snake=False, voc_dtype="f32",
 ):
     """ONE dispatch advancing every active slot by one 256-sample frame.
 
@@ -127,8 +132,13 @@ def _fused_tick_impl(
     codes, mel_hat, h = bvrnn_mod.encode_decode(
         params, bcfg, mel[:, None, :], bits[:, None], state["h"]
     )
+    # approx_snake / voc_dtype mirror the codec's offline serving knobs so a
+    # precision='default' codec runs the SAME vocoder numerics per tick as
+    # its one-shot decode (streaming.generator_stream_step docstring)
     voc_state, wav = generator_stream_step(
-        voc_params, vcfg, state["voc"], jnp.swapaxes(mel_hat, 1, 2)
+        voc_params, vcfg, state["voc"], jnp.swapaxes(mel_hat, 1, 2),
+        precision=bcfg.precision, approx_snake=approx_snake,
+        compute_dtype=jnp.bfloat16 if voc_dtype == "bf16" else None,
     )
 
     mask = active[:, None]
@@ -137,11 +147,13 @@ def _fused_tick_impl(
         "h": jnp.where(mask, h, state["h"]),
         "voc": _merge_active(mask, voc_state, state["voc"]),
     }
-    return new_state, codes[:, 0, :], wav[:, 0, :] / SCALING
+    return new_state, codes[:, 0, :], wav[:, 0, :].astype(jnp.float32) / SCALING
 
 
 _fused_tick = functools.partial(
-    jax.jit, static_argnames=("bcfg", "vcfg", "frontend"), donate_argnums=(2,)
+    jax.jit,
+    static_argnames=("bcfg", "vcfg", "frontend", "approx_snake", "voc_dtype"),
+    donate_argnums=(2,),
 )(_fused_tick_impl)
 
 
@@ -198,7 +210,8 @@ class ServingEngine:
                 "window": jnp.zeros((self.B, self.win), jnp.float32),
                 "h": jnp.zeros((self.B, self._h_dim), self._state_dtype),
                 "voc": generator_stream_init(
-                    self.codec.conf.vocoder_config, self.B, self._state_dtype
+                    self.codec.conf.vocoder_config, self.B,
+                    voc_state_dtype(self.codec),
                 ),
             }
         )
@@ -225,6 +238,8 @@ class ServingEngine:
             self.codec.bvrnn_params, self.codec.vocoder_params, state,
             chunk, bits, active,
             bcfg=self._bcfg, vcfg=self._vcfg, frontend=self._frontend,
+            approx_snake=self.codec.approx_snake,
+            voc_dtype=self.codec.voc_dtype,
         )
 
     def _put(self, tree):
@@ -381,7 +396,7 @@ class ServingEngine:
 
 
 def _decode_tick_impl(params, voc_params, state, codes, lost, cbits, active, *,
-                      bcfg, vcfg):
+                      bcfg, vcfg, approx_snake=False, voc_dtype="f32"):
     """ONE dispatch advancing every active decode-only slot by one frame.
 
     state: {h (B, h_dim), voc (pytree)}; codes: (B, z_dim); lost: (B,)
@@ -394,18 +409,21 @@ def _decode_tick_impl(params, voc_params, state, codes, lost, cbits, active, *,
         cbits[:, None],
     )
     voc_state, wav = generator_stream_step(
-        voc_params, vcfg, state["voc"], jnp.swapaxes(mel, 1, 2)
+        voc_params, vcfg, state["voc"], jnp.swapaxes(mel, 1, 2),
+        precision=bcfg.precision, approx_snake=approx_snake,
+        compute_dtype=jnp.bfloat16 if voc_dtype == "bf16" else None,
     )
     mask = active[:, None]
     new_state = {
         "h": jnp.where(mask, h, state["h"]),
         "voc": _merge_active(mask, voc_state, state["voc"]),
     }
-    return new_state, wav[:, 0, :] / SCALING
+    return new_state, wav[:, 0, :].astype(jnp.float32) / SCALING
 
 
 _decode_tick = functools.partial(
-    jax.jit, static_argnames=("bcfg", "vcfg"), donate_argnums=(2,)
+    jax.jit, static_argnames=("bcfg", "vcfg", "approx_snake", "voc_dtype"),
+    donate_argnums=(2,),
 )(_decode_tick_impl)
 
 
@@ -452,7 +470,8 @@ class DecodeEngine:
             {
                 "h": jnp.zeros((self.B, self._h_dim), self._state_dtype),
                 "voc": generator_stream_init(
-                    self.codec.conf.vocoder_config, self.B, self._state_dtype
+                    self.codec.conf.vocoder_config, self.B,
+                    voc_state_dtype(self.codec),
                 ),
             }
         )
@@ -473,6 +492,8 @@ class DecodeEngine:
         return _decode_tick(
             self.codec.bvrnn_params, self.codec.vocoder_params, state,
             codes, lost, cbits, active, bcfg=self._bcfg, vcfg=self._vcfg,
+            approx_snake=self.codec.approx_snake,
+            voc_dtype=self.codec.voc_dtype,
         )
 
     def _put(self, tree):

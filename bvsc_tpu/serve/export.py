@@ -43,7 +43,7 @@ import numpy as np
 
 from bvsc_tpu.config import CodecConfig
 from bvsc_tpu.serve.engine import DecodeEngine, ServingEngine
-from bvsc_tpu.streaming import FusedPacketCodec
+from bvsc_tpu.streaming import FusedPacketCodec, voc_compute_dtype, voc_state_dtype
 
 FORMAT = "bvsc-serve-1"
 
@@ -177,13 +177,17 @@ def export_serving_bundle(
 
         def voc_fn(vp, mel, Lp=Lp):
             # standalone mel -> waveform (scripts/synthesize.py semantics:
-            # no codec -10 dB scaling; reference inference_e2e.py:53-62)
+            # no codec -10 dB scaling; reference inference_e2e.py:53-62).
+            # voc_dtype is applied like decode/forward so every program in
+            # one bundle runs the same vocoder numerics.
+            from bvsc_tpu.codec import _voc_cast
             from bvsc_tpu.models import vocoder as voc_mod
 
+            vp, mel = _voc_cast(vp, mel, codec.voc_dtype)
             return voc_mod.generator_apply(
                 vp, vcfg, mel, Lp, precision=bcfg.precision,
                 approx_snake=codec.approx_snake,
-            )[:, 0, :]
+            )[:, 0, :].astype(jnp.float32)
 
         ms = jax.ShapeDtypeStruct((B, conf.num_mels, Tp), f32)
         names = {}
@@ -199,18 +203,21 @@ def export_serving_bundle(
         buckets.append({"length": Lp, "frames": Tp, "programs": names})
 
     packet_meta = None
+    vsdt = voc_state_dtype(codec)
     if packet:
         from bvsc_tpu.streaming import _fused_packet_step, generator_stream_init
 
         state0 = {
             "window": jnp.zeros((packet_batch, conf.winsize), f32),
             "h": jnp.zeros((packet_batch, conf.h_dim), bcfg.dtype),
-            "voc": generator_stream_init(vcfg, packet_batch, bcfg.dtype),
+            "voc": generator_stream_init(vcfg, packet_batch, vsdt),
         }
 
         def step_fn(p, vp, state, chunk, bits):
             return _fused_packet_step(p, vp, state, chunk, bits,
-                                      bcfg=bcfg, vcfg=vcfg, frontend=frontend)
+                                      bcfg=bcfg, vcfg=vcfg, frontend=frontend,
+                                      approx_snake=codec.approx_snake,
+                                      voc_dtype=codec.voc_dtype)
 
         blobs["programs/packet_step.shlo"] = _export(
             step_fn, pspec, vspec, _tree_specs(state0),
@@ -232,7 +239,7 @@ def export_serving_bundle(
 
         dec_state0 = {
             "h": jnp.zeros((packet_batch, conf.h_dim), bcfg.dtype),
-            "voc": generator_stream_init(vcfg, packet_batch, bcfg.dtype),
+            "voc": generator_stream_init(vcfg, packet_batch, vsdt),
         }
 
         def decode_step_fn(p, vp, state, codes, lost, cbits):
@@ -241,9 +248,12 @@ def export_serving_bundle(
             cb = jnp.broadcast_to(cbits[:, None], codes.shape[:2])
             mel, h = bvrnn_mod.decode_plc(p, bcfg, codes, lost, state["h"], cb)
             voc_state, wav = generator_stream_step(
-                vp, vcfg, state["voc"], jnp.swapaxes(mel, 1, 2)
+                vp, vcfg, state["voc"], jnp.swapaxes(mel, 1, 2),
+                precision=bcfg.precision, approx_snake=codec.approx_snake,
+                compute_dtype=voc_compute_dtype(codec),
             )
-            return ({"h": h, "voc": voc_state}, wav[:, 0, :] / SCALING)
+            return ({"h": h, "voc": voc_state},
+                    wav[:, 0, :].astype(jnp.float32) / SCALING)
 
         blobs["programs/packet_decode_step.shlo"] = _export(
             decode_step_fn, pspec, vspec, _tree_specs(dec_state0),
@@ -269,12 +279,14 @@ def export_serving_bundle(
         eng_state0 = {
             "window": jnp.zeros((EB, conf.winsize), f32),
             "h": jnp.zeros((EB, conf.h_dim), bcfg.dtype),
-            "voc": generator_stream_init(vcfg, EB, bcfg.dtype),
+            "voc": generator_stream_init(vcfg, EB, vsdt),
         }
 
         def eng_tick_fn(p, vp, state, chunk, bits, active):
             return _fused_tick_impl(p, vp, state, chunk, bits, active,
-                                    bcfg=bcfg, vcfg=vcfg, frontend=frontend)
+                                    bcfg=bcfg, vcfg=vcfg, frontend=frontend,
+                                    approx_snake=codec.approx_snake,
+                                    voc_dtype=codec.voc_dtype)
 
         blobs["programs/engine_tick.shlo"] = _export(
             eng_tick_fn, pspec, vspec, _tree_specs(eng_state0),
@@ -286,12 +298,14 @@ def export_serving_bundle(
 
         eng_dec_state0 = {
             "h": jnp.zeros((EB, conf.h_dim), bcfg.dtype),
-            "voc": generator_stream_init(vcfg, EB, bcfg.dtype),
+            "voc": generator_stream_init(vcfg, EB, vsdt),
         }
 
         def eng_dec_tick_fn(p, vp, state, codes, lost, cbits, active):
             return _decode_tick_impl(p, vp, state, codes, lost, cbits,
-                                     active, bcfg=bcfg, vcfg=vcfg)
+                                     active, bcfg=bcfg, vcfg=vcfg,
+                                     approx_snake=codec.approx_snake,
+                                     voc_dtype=codec.voc_dtype)
 
         blobs["programs/engine_decode_tick.shlo"] = _export(
             eng_dec_tick_fn, pspec, vspec, _tree_specs(eng_dec_state0),
@@ -316,6 +330,14 @@ def export_serving_bundle(
         "jax_version": jax.__version__,
         "platforms": list(platforms),
         "batch": batch,
+        # the numerics contract ALL programs in this bundle were traced
+        # with (one bundle == one consistent vocoder/precision config)
+        "serving": {
+            "precision": ("default" if bcfg.precision == jax.lax.Precision.DEFAULT
+                          else "highest"),
+            "approx_snake": bool(codec.approx_snake),
+            "voc_dtype": codec.voc_dtype,
+        },
         "config": dataclasses.asdict(conf),
         "buckets": buckets,
         "packet": packet_meta,

@@ -40,21 +40,39 @@ from bvsc_tpu.ops.snake import apply_activation
 # ---------------------------------------------------------------------------
 
 
+def voc_compute_dtype(codec):
+    """The streaming vocoder's compute dtype for this codec's serving
+    contract: bf16 when ``codec.voc_dtype == 'bf16'`` (precision='default'
+    serving), else None (no cast — f32, reference parity).  Keeps the
+    streaming/tick paths numerically consistent with the offline
+    ``codec._voc_cast`` fast path."""
+    return jnp.bfloat16 if getattr(codec, "voc_dtype", "f32") == "bf16" else None
+
+
+def voc_state_dtype(codec):
+    """Dtype for :func:`generator_stream_init` state buffers — must match
+    the step's compute dtype (state carries concatenate with activations)."""
+    cd = voc_compute_dtype(codec)
+    return cd if cd is not None else codec.bvrnn_cfg.dtype
+
+
 def _conv_state(batch: int, ch: int, k: int, dilation: int, dtype) -> jax.Array:
     """Left-context buffer of (k-1)*dilation zeros (== one-shot zero pads)."""
     return jnp.zeros((batch, ch, (k - 1) * dilation), dtype)
 
 
-def _stream_conv(state: jax.Array, x: jax.Array, p: dict, dilation: int = 1):
+def _stream_conv(state: jax.Array, x: jax.Array, p: dict, dilation: int = 1,
+                 precision=None):
     """Causal conv step: consume (B, C, T), emit (B, C', T), carry context."""
     ctx = jnp.concatenate([state, x], axis=-1)
-    y = conv1d(ctx, p, dilation=dilation)
+    y = conv1d(ctx, p, dilation=dilation, precision=precision)
     klen = state.shape[-1]
     new_state = ctx[..., ctx.shape[-1] - klen :] if klen else state
     return new_state, y
 
 
-def _stream_conv_transpose(state: jax.Array, x: jax.Array, p: dict, stride: int):
+def _stream_conv_transpose(state: jax.Array, x: jax.Array, p: dict, stride: int,
+                           precision=None):
     """Transposed-conv step with overlap-add carry.
 
     Emits exactly stride*T finalized samples; the (k - stride)-sample tail
@@ -63,7 +81,8 @@ def _stream_conv_transpose(state: jax.Array, x: jax.Array, p: dict, stride: int)
     """
     bias = p.get("b")
     p_nobias = {k: v for k, v in p.items() if k != "b"}
-    y = conv_transpose1d(x, p_nobias, stride=stride)  # (B, C', (T-1)s + k)
+    y = conv_transpose1d(x, p_nobias, stride=stride,
+                         precision=precision)  # (B, C', (T-1)s + k)
     k = conv_weight(p).shape[-1]
     overlap = k - stride
     if overlap:
@@ -107,17 +126,34 @@ def generator_stream_init(
 
 
 def generator_stream_step(
-    params: dict, cfg: VocoderConfig, state: dict, mel: jax.Array
+    params: dict, cfg: VocoderConfig, state: dict, mel: jax.Array, *,
+    precision=None, approx_snake: bool = False, compute_dtype=None,
 ) -> tuple[dict, jax.Array]:
     """Consume (B, num_mels, T) mel frames, emit (B, 1, T*prod(upsample))
-    finalized waveform samples (one-shot prefix equality)."""
+    finalized waveform samples (one-shot prefix equality).
+
+    The serving knobs mirror ``models.vocoder.generator_apply`` so a fast
+    codec (``precision='default'``) gets the SAME numerics streaming and
+    offline: ``precision`` for the conv MXU passes, ``approx_snake`` for
+    the polynomial sin^2 snake, ``compute_dtype`` (e.g. ``jnp.bfloat16``)
+    casts params+mel in-program (one fused ~MB convert pass; the state
+    pytree must already be in ``compute_dtype`` — see
+    :func:`generator_stream_init`).  Waveform is returned in the compute
+    dtype; callers cast to f32 before un-scaling."""
+    if compute_dtype is not None:
+        params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
+        mel = mel.astype(compute_dtype)
     num_k = len(cfg.resblock_kernel_sizes)
     new_state = {"ups": [], "resblocks": []}
 
-    new_state["conv_pre"], x = _stream_conv(state["conv_pre"], mel, params["conv_pre"])
+    new_state["conv_pre"], x = _stream_conv(
+        state["conv_pre"], mel, params["conv_pre"], precision=precision
+    )
 
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
-        st, x = _stream_conv_transpose(state["ups"][i], x, params["ups"][i], stride=u)
+        st, x = _stream_conv_transpose(
+            state["ups"][i], x, params["ups"][i], stride=u, precision=precision
+        )
         new_state["ups"].append(st)
         xs = None
         for j, (ksz, dils) in enumerate(
@@ -131,16 +167,20 @@ def generator_stream_step(
             for jj, d in enumerate(dils):
                 xt = apply_activation(
                     xb, rparams["acts"][2 * jj], kind=cfg.activation,
-                    logscale=cfg.snake_logscale,
+                    logscale=cfg.snake_logscale, approx=approx_snake,
                 )
                 st1, xt = _stream_conv(
-                    rstate["convs1"][jj], xt, rparams["convs1"][jj], dilation=d
+                    rstate["convs1"][jj], xt, rparams["convs1"][jj], dilation=d,
+                    precision=precision,
                 )
                 xt = apply_activation(
                     xt, rparams["acts"][2 * jj + 1], kind=cfg.activation,
-                    logscale=cfg.snake_logscale,
+                    logscale=cfg.snake_logscale, approx=approx_snake,
                 )
-                st2, xt = _stream_conv(rstate["convs2"][jj], xt, rparams["convs2"][jj])
+                st2, xt = _stream_conv(
+                    rstate["convs2"][jj], xt, rparams["convs2"][jj],
+                    precision=precision,
+                )
                 new_rstate["convs1"].append(st1)
                 new_rstate["convs2"].append(st2)
                 xb = xt + xb
@@ -149,9 +189,12 @@ def generator_stream_step(
         x = xs / num_k
 
     x = apply_activation(
-        x, params["act_post"], kind=cfg.activation, logscale=cfg.snake_logscale
+        x, params["act_post"], kind=cfg.activation, logscale=cfg.snake_logscale,
+        approx=approx_snake,
     )
-    new_state["conv_post"], x = _stream_conv(state["conv_post"], x, params["conv_post"])
+    new_state["conv_post"], x = _stream_conv(
+        state["conv_post"], x, params["conv_post"], precision=precision
+    )
     return new_state, jnp.tanh(x)
 
 
@@ -257,7 +300,7 @@ class StreamingDecoder:
         self.batch = batch
         self.h = jnp.zeros((batch, conf.h_dim), codec.bvrnn_cfg.dtype)
         self.voc_state = generator_stream_init(
-            conf.vocoder_config, batch, codec.bvrnn_cfg.dtype
+            conf.vocoder_config, batch, voc_state_dtype(codec)
         )
         # conceal_bits == z_dim is identical to "all prior bits" (the mask
         # saturates), so one code path serves both cases
@@ -267,12 +310,17 @@ class StreamingDecoder:
             jnp.asarray(cb, jnp.float32), (batch,)
         )
 
+        vknobs = dict(precision=codec.bvrnn_cfg.precision,
+                      approx_snake=codec.approx_snake,
+                      compute_dtype=voc_compute_dtype(codec))
+
         def decode_frames(params, voc_params, codes, h, voc_state):
             mel, h = bvrnn_mod.decode(params, codec.bvrnn_cfg, codes, h)
             voc_state, wav = generator_stream_step(
-                voc_params, conf.vocoder_config, voc_state, jnp.swapaxes(mel, 1, 2)
+                voc_params, conf.vocoder_config, voc_state,
+                jnp.swapaxes(mel, 1, 2), **vknobs
             )
-            return wav[:, 0, :] / SCALING, h, voc_state
+            return wav[:, 0, :].astype(jnp.float32) / SCALING, h, voc_state
 
         def conceal_frames(params, voc_params, codes, lost, cbits, h, voc_state):
             cb = jnp.broadcast_to(cbits[:, None], codes.shape[:2])
@@ -280,9 +328,10 @@ class StreamingDecoder:
                 params, codec.bvrnn_cfg, codes, lost, h, cb
             )
             voc_state, wav = generator_stream_step(
-                voc_params, conf.vocoder_config, voc_state, jnp.swapaxes(mel, 1, 2)
+                voc_params, conf.vocoder_config, voc_state,
+                jnp.swapaxes(mel, 1, 2), **vknobs
             )
-            return wav[:, 0, :] / SCALING, h, voc_state
+            return wav[:, 0, :].astype(jnp.float32) / SCALING, h, voc_state
 
         self._decode = jax.jit(decode_frames)
         self._decode_plc = jax.jit(conceal_frames)
@@ -323,15 +372,26 @@ class StreamingDecoder:
         return self.feed(codes, lost=np.ones((self.batch, n_frames), np.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("bcfg", "vcfg", "frontend"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("bcfg", "vcfg", "frontend", "approx_snake", "voc_dtype"),
+)
 def _fused_packet_step(
-    params, voc_params, state, chunk, bits, *, bcfg, vcfg, frontend
+    params, voc_params, state, chunk, bits, *, bcfg, vcfg, frontend,
+    approx_snake=False, voc_dtype="f32",
 ):
     """ONE dispatch per 256-sample packet: window roll -> mel -> fused BVRNN
     encode_decode step -> streaming vocoder step.
 
     state: {window (B, 1024), h (B, h_dim), voc (pytree)}.
     Returns (state, codes (B, z), wav (B, 256)).
+
+    ``approx_snake`` / ``voc_dtype`` mirror the codec's offline serving
+    knobs (``BVRNNCodecModel(precision='default')`` threads them here via
+    :class:`FusedPacketCodec`) so the packet path and the one-shot path run
+    the SAME vocoder numerics; the conv precision follows ``bcfg.precision``
+    like every offline program.  With ``voc_dtype='bf16'`` the state's
+    ``voc`` pytree must be bf16 (:func:`generator_stream_init`).
 
     A single GRU state serves both ends — the closed-loop state-sync
     invariant (reference ``bvrnn.py:204-206`` == ``:226-227``) means the
@@ -356,10 +416,12 @@ def _fused_packet_step(
         params, bcfg, mel[:, None, :], bits[:, None], state["h"]
     )
     voc_state, wav = generator_stream_step(
-        voc_params, vcfg, state["voc"], jnp.swapaxes(mel_hat, 1, 2)
+        voc_params, vcfg, state["voc"], jnp.swapaxes(mel_hat, 1, 2),
+        precision=bcfg.precision, approx_snake=approx_snake,
+        compute_dtype=jnp.bfloat16 if voc_dtype == "bf16" else None,
     )
     new_state = {"window": window, "h": h, "voc": voc_state}
-    return new_state, codes[:, 0, :], wav[:, 0, :] / SCALING
+    return new_state, codes[:, 0, :], wav[:, 0, :].astype(jnp.float32) / SCALING
 
 
 class FusedPacketCodec:
@@ -385,7 +447,9 @@ class FusedPacketCodec:
         self.state = {
             "window": jnp.zeros((batch, conf.winsize), jnp.float32),
             "h": jnp.zeros((batch, conf.h_dim), dtype),
-            "voc": generator_stream_init(conf.vocoder_config, batch, dtype),
+            "voc": generator_stream_init(
+                conf.vocoder_config, batch, voc_state_dtype(codec)
+            ),
         }
         self._prefix = np.zeros((batch, 0), np.float32)
         self._tail = np.zeros((batch, 0), np.float32)  # last pad_right+1 samples
@@ -398,6 +462,8 @@ class FusedPacketCodec:
             chunk_dev, self.bits,
             bcfg=self.codec.bvrnn_cfg, vcfg=self.codec.conf.vocoder_config,
             frontend=self.codec.frontend,
+            approx_snake=self.codec.approx_snake,
+            voc_dtype=self.codec.voc_dtype,
         )
         return codes, wav
 

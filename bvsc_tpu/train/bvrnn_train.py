@@ -88,6 +88,34 @@ def draw_bitrates(key: jax.Array, conf: CodecConfig, batch: int, frames: int) ->
     return jnp.where(second, b2, b1)
 
 
+def stripe_mask(key: jax.Array, batch: int, length: int, n: int,
+                max_width: int) -> jax.Array:
+    """(batch, length) bool — union of ``n`` random stripes of width
+    uniform in [0, max_width] per sample (width 0 == stripe disabled)."""
+    ks, kw = jax.random.split(key)
+    start = jax.random.randint(ks, (batch, n, 1), 0, length)
+    width = jax.random.randint(kw, (batch, n, 1), 0, max_width + 1)
+    idx = jnp.arange(length)[None, None, :]
+    return ((idx >= start) & (idx < start + width)).any(axis=1)
+
+
+def apply_spec_mask(
+    key: jax.Array, mel: jax.Array, *, n_freq: int = 2, freq_width: int = 10,
+    n_time: int = 2, time_width: int = 24,
+) -> jax.Array:
+    """SpecAugment-style input masking for denoising VAE training: replace
+    random mel-band and frame stripes with the per-sequence per-band mean.
+    Only the ENCODER input is masked — the NLL target stays the clean mel
+    (see ``loss_fn(mel_in=...)``), so the model must reconstruct masked
+    regions from its temporal prior, the same machinery PLC exploits."""
+    B, T, M = mel.shape
+    kt, kf = jax.random.split(key)
+    t_mask = stripe_mask(kt, B, T, n_time, time_width)[:, :, None]
+    f_mask = stripe_mask(kf, B, M, n_freq, freq_width)[:, None, :]
+    mean = jnp.mean(mel, axis=1, keepdims=True)  # (B, 1, M)
+    return jnp.where(t_mask | f_mask, mean, mel)
+
+
 def loss_fn(
     params,
     bcfg: bvrnn_mod.BVRNNConfig,
@@ -95,10 +123,15 @@ def loss_fn(
     p_use_gen: jax.Array,
     bits: jax.Array | None,
     rng: jax.Array,
+    mel_in: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
-    """Gaussian NLL (learned log_sigma) + Bernoulli KLD."""
+    """Gaussian NLL (learned log_sigma) + Bernoulli KLD.
+
+    ``mel_in``: optional corrupted encoder input (e.g. spec-masked); the
+    NLL target is always the clean ``mel``."""
     mel_hat, kld = bvrnn_mod.forward_train(
-        params, bcfg, mel, p_use_gen, False, bits, rng
+        params, bcfg, mel if mel_in is None else mel_in, p_use_gen, False,
+        bits, rng
     )
     log_sigma = params["log_sigma"][0]
     se = (mel_hat - mel) ** 2
@@ -115,16 +148,24 @@ def loss_fn(
     return loss, metrics
 
 
-def make_train_step(conf: CodecConfig, bcfg: bvrnn_mod.BVRNNConfig, optimizer):
-    """Pure (state, mel, rng) -> (state, metrics) step function."""
+def make_train_step(conf: CodecConfig, bcfg: bvrnn_mod.BVRNNConfig, optimizer,
+                    mel_mask: dict | None = None):
+    """Pure (state, mel, rng) -> (state, metrics) step function.
+
+    ``mel_mask``: optional kwargs for :func:`apply_spec_mask` (empty dict =
+    defaults) enabling SpecAugment-style denoising of the encoder input."""
 
     def train_step(state: TrainState, mel: jax.Array, rng: jax.Array):
-        k_bits, k_model = jax.random.split(jax.random.fold_in(rng, state.step))
+        k_bits, k_model, k_mask = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3
+        )
         B, T, _ = mel.shape
         bits = draw_bitrates(k_bits, conf, B, T) if conf.var_bit else None
         p_gen = p_use_gen_schedule(state.step, conf)
+        mel_in = (apply_spec_mask(k_mask, mel, **mel_mask)
+                  if mel_mask is not None else None)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, bcfg, mel, p_gen, bits, k_model
+            state.params, bcfg, mel, p_gen, bits, k_model, mel_in
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -144,6 +185,7 @@ class BVRNNTrainer:
         params=None,
         seed: int = 0,
         mean_std_mel=None,
+        mel_mask: dict | None = None,
     ):
         self.conf = conf
         self.bcfg = bvrnn_mod.BVRNNConfig(
@@ -165,7 +207,7 @@ class BVRNNTrainer:
         )
         data_sh = batch_sharded(self.mesh)
         self._step = jax.jit(
-            make_train_step(conf, self.bcfg, self.optimizer),
+            make_train_step(conf, self.bcfg, self.optimizer, mel_mask),
             in_shardings=(repl, data_sh, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),

@@ -231,8 +231,31 @@ def main(argv=None):
             var_bit=conf.var_bit, dtype=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
+        # per-step state-synchronized passes for the quantized modes: encode
+        # every frame from the reference's f64 trajectory with the QUANTIZED
+        # weights — the chaos-free measurement of the quantization flip rate
+        # (free-running agreement is chaos-dominated on trained weights, so
+        # it cannot rank int8 vs int8_mixed; this can).
+        step_quant: dict[str, tuple] = {}
+        if trained and not args.skip_quant:
+            from bvsc_tpu.ops.quant import (
+                quantize_bvrnn_params,
+                quantize_bvrnn_params_mixed,
+            )
+
+            bcfg_fast = bvrnn_mod.BVRNNConfig(
+                x_dim=conf.num_mels, h_dim=conf.h_dim, z_dim=conf.z_dim,
+                var_bit=conf.var_bit, dtype=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            step_quant = {
+                "step_int8": (quantize_bvrnn_params(params), bcfg_fast),
+                "step_int8_mixed": (quantize_bvrnn_params_mixed(params),
+                                    bcfg_fast),
+            }
+
         per_stim = {}
         totals: dict = {m: [0, 0] for m in modes}
+        totals.update({m: [0, 0] for m in step_quant})
         totals.update(self_floor=[0, 0], step64=[0, 0], step32=[0, 0])
         worst_step64_margin = np.inf  # margin of the worst f64 per-step flip
         step32_flip_margins = []
@@ -287,6 +310,14 @@ def main(argv=None):
                     step32_flip_margins.extend(
                         np.abs(margins[flip_t[active], flip_z[active]]).tolist())
 
+            # per-step flip rate of the quantized weight sets
+            for tag, (p_q, c_q) in step_quant.items():
+                codes_step = jax_per_step_codes(p_q, c_q, mel_np, h_seq64, bits)
+                eq = codes_step == codes_sync
+                totals[tag][0] += int(eq.sum())
+                totals[tag][1] += int(eq.size)
+                row[tag + "_agreement"] = float(eq.mean())
+
             per_stim[name] = row
             print(f"[{label}] {name}: frames={row['frames']} " +
                   " ".join(f"{m}={row[m + '_agreement'] * 100:.3f}%"
@@ -335,6 +366,28 @@ def main(argv=None):
                 f"{label}: cross-implementation agreement {agg['parity']:.4f}"
                 f" below the torch f32-vs-f64 self-agreement noise floor "
                 f"{agg['self_floor']:.4f} - 1%")
+        # quantized-mode floors (VERDICT r3 #4): free-running agreement must
+        # meet the same self_floor - 1% bound parity mode meets, and the
+        # chaos-free per-step flip rates must show int8_mixed is at least as
+        # accurate per step as plain int8 (its design property) — the
+        # free-running ordering between them is chaos variance and is NOT
+        # gated.
+        for m in ("int8", "int8_mixed"):
+            if m in agg and agg[m] < agg["self_floor"] - 0.01:
+                failures.append(
+                    f"{label}: {m} free-running agreement {agg[m]:.4f} below "
+                    f"self_floor {agg['self_floor']:.4f} - 1%")
+        if "step_int8" in agg and "step_int8_mixed" in agg:
+            if agg["step_int8_mixed"] < agg["step_int8"] - 1e-4:
+                failures.append(
+                    f"{label}: int8_mixed per-step agreement "
+                    f"{agg['step_int8_mixed']:.5f} WORSE than plain int8 "
+                    f"{agg['step_int8']:.5f} — mixed mode is broken")
+            for m in ("step_int8", "step_int8_mixed"):
+                if agg[m] < 0.99:
+                    failures.append(
+                        f"{label}: {m} per-step agreement {agg[m]:.4f} < 99% "
+                        "— quantization flips far beyond serving tolerance")
         if step32_flip_margins and max(step32_flip_margins) > 1e-3:
             failures.append(
                 f"{label}: a per-step f32 flip at margin "

@@ -53,6 +53,15 @@ def parse_args(argv=None):
                    help="on-the-fly speed perturbation (0.85-1.15) + "
                         "random gain (-10..0 dB) per crop — counters "
                         "overfitting on tiny corpora")
+    p.add_argument("--augment_full", action="store_true",
+                   help="the full augmentation tier: speed+gain plus "
+                        "additive noise (SNR 8-30 dB, p=0.5), synthetic-RIR "
+                        "reverb (RT60 0.1-0.4 s, p=0.3) and WSOLA pitch "
+                        "shift (+-2 semitones, p=0.3)")
+    p.add_argument("--mel_mask", action="store_true",
+                   help="SpecAugment-style denoising: random time/freq "
+                        "stripes of the ENCODER input mel replaced by the "
+                        "sequence mean (targets stay clean)")
     _cli_common.add_platform_arg(p)
     _cli_common.add_distributed_args(p)
     return p.parse_args(argv)
@@ -99,10 +108,16 @@ def main(argv=None):
             for line in f.read().splitlines() if line
         ]
     train_files = [f if f.endswith(".wav") else f + ".wav" for f in train_files]
+    aug = None
+    if args.augment or args.augment_full:
+        aug = {"speed": (0.85, 1.15), "gain_db": (-10.0, 0.0)}
+    if args.augment_full:
+        aug.update({"noise_snr_db": (8.0, 30.0), "noise_p": 0.5,
+                    "reverb_rt60": (0.1, 0.4), "reverb_p": 0.3,
+                    "pitch_semitones": (-2.0, 2.0), "pitch_p": 0.3})
     trainset = AudioSegmentDataset(
         train_files, segment, conf.fs, conf.hopsize, seed=args.seed,
-        augment={"speed": (0.85, 1.15), "gain_db": (-10.0, 0.0)}
-        if args.augment else None,
+        augment=aug,
     )
 
     frontend = MelFrontend(
@@ -133,7 +148,8 @@ def main(argv=None):
           f"mean[0]={mean_std[0][0]:.3f} std[0]={mean_std[1][0]:.3f}")
 
     mesh = make_mesh()
-    trainer = BVRNNTrainer(conf, mesh=mesh, seed=args.seed, mean_std_mel=mean_std)
+    trainer = BVRNNTrainer(conf, mesh=mesh, seed=args.seed, mean_std_mel=mean_std,
+                          mel_mask={} if args.mel_mask else None)
 
     # auto-resume
     if conf.resume or ckpt.scan_checkpoint(args.checkpoint_path, "bvrnn_") is not None:

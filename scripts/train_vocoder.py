@@ -57,6 +57,9 @@ def parse_args(argv=None):
                         "counters overfitting on tiny corpora; incompatible "
                         "with --fine_tuning (precomputed mels would desync "
                         "from the augmented waveform)")
+    p.add_argument("--augment_full", action="store_true",
+                   help="speed+gain plus additive noise, synthetic-RIR "
+                        "reverb and WSOLA pitch shift (see train_bvrnn.py)")
     p.add_argument("--init_generator", default=None,
                    help="warm-start the generator from a g_ checkpoint or "
                         "exported npz (fresh discriminators/optimizers); "
@@ -134,6 +137,17 @@ def load_configs(args):
     return vcfg, tcfg
 
 
+def _augment_dict(args):
+    if not (args.augment or getattr(args, "augment_full", False)):
+        return None
+    aug = {"speed": (0.85, 1.15), "gain_db": (-10.0, 0.0)}
+    if getattr(args, "augment_full", False):
+        aug.update({"noise_snr_db": (8.0, 30.0), "noise_p": 0.5,
+                    "reverb_rt60": (0.1, 0.4), "reverb_p": 0.3,
+                    "pitch_semitones": (-2.0, 2.0), "pitch_p": 0.3})
+    return aug
+
+
 def main(argv=None):
     args = parse_args(argv)
     _cli_common.setup_runtime(args)
@@ -197,7 +211,7 @@ def main(argv=None):
             for line in f.read().splitlines() if line
         ]
     train_files = [f if f.endswith(".wav") else f + ".wav" for f in train_files]
-    if args.augment and args.fine_tuning:
+    if (args.augment or args.augment_full) and args.fine_tuning:
         raise SystemExit("--augment is incompatible with --fine_tuning "
                          "(precomputed mels would desync from the "
                          "augmented waveform)")
@@ -205,8 +219,7 @@ def main(argv=None):
         train_files, tcfg.segment_size, tcfg.sampling_rate, tcfg.hop_size,
         fine_tuning=args.fine_tuning, base_mels_path=args.input_mels_dir,
         seed=args.seed,
-        augment={"speed": (0.85, 1.15), "gain_db": (-10.0, 0.0)}
-        if args.augment else None,
+        augment=_augment_dict(args),
     )
     def read_filelist(filelist, wavs_dir):
         with open(filelist) as f:

@@ -73,3 +73,51 @@ def test_draw_bitrates_properties():
     conf0 = tiny_conf(p_bitratechange=0.0)
     bits0 = np.asarray(draw_bitrates(jax.random.key(1), conf0, B, T))
     assert (np.diff(bits0, axis=1) == 0).all()
+
+
+def test_spec_mask_properties():
+    """Masked regions take the per-sequence band mean; unmasked regions are
+    untouched; shapes/dtype preserved; seeded-deterministic."""
+    from bvsc_tpu.train.bvrnn_train import apply_spec_mask, stripe_mask
+
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal((4, 40, 8)).astype(np.float32))
+    key = jax.random.key(3)
+    out = apply_spec_mask(key, mel, n_time=2, time_width=10,
+                          n_freq=1, freq_width=3)
+    assert out.shape == mel.shape and out.dtype == mel.dtype
+    np.testing.assert_array_equal(
+        np.asarray(apply_spec_mask(key, mel, n_time=2, time_width=10,
+                                   n_freq=1, freq_width=3)),
+        np.asarray(out))
+    changed = ~np.isclose(np.asarray(out), np.asarray(mel))
+    assert changed.any()  # something was masked
+    # every changed element equals the per-sequence per-band mean
+    mean = np.asarray(mel).mean(axis=1, keepdims=True)
+    target = np.broadcast_to(mean, mel.shape)
+    np.testing.assert_allclose(np.asarray(out)[changed], target[changed],
+                               rtol=1e-6)
+    # width 0 == no masking
+    m0 = stripe_mask(jax.random.key(0), 4, 40, 3, 0)
+    assert not np.asarray(m0).any()
+
+
+def test_trainer_with_mel_mask_runs():
+    """mel_mask trainer steps are finite and still learn; the mask reaches
+    the graph (loss differs from the unmasked trainer on the same data)."""
+    conf = tiny_conf()
+    t = np.linspace(0, 1, 12)[None, :, None]
+    rng = np.random.default_rng(0)
+    mel = (np.sin(2 * np.pi * 3 * t) * np.linspace(1, 2, 8)[None, None, :]
+           + 0.05 * rng.standard_normal((8, 12, 8))).astype(np.float32)
+    plain = BVRNNTrainer(conf, seed=0)
+    masked = BVRNNTrainer(conf, seed=0,
+                          mel_mask=dict(n_time=1, time_width=4,
+                                        n_freq=1, freq_width=2))
+    m_p = plain.step(jnp.asarray(mel), jax.random.key(1))
+    m_m = masked.step(jnp.asarray(mel), jax.random.key(1))
+    assert np.isfinite(float(m_m["loss"]))
+    assert float(m_m["loss"]) != float(m_p["loss"])
+    for _ in range(5):
+        m_m = masked.step(jnp.asarray(mel), jax.random.key(1))
+        assert np.isfinite(float(m_m["loss"]))

@@ -64,6 +64,16 @@ def test_parity_artifact_gates():
         agg = report["weight_sources"][label]["aggregate"]
         for m in ("int8", "int8_mixed"):
             assert m in agg, f"{label} missing {m} agreement at full size"
+            # quantized free-running floor: the same self_floor - 1% bound
+            # parity mode meets (VERDICT r3 #4)
+            assert agg[m] >= agg["self_floor"] - 0.01, (label, m, agg)
+        # chaos-free per-step flip rates: int8_mixed must be at least as
+        # accurate per step as plain int8 (the design property the
+        # free-running number cannot rank), and both within 1% of the f64
+        # per-step codes
+        assert agg["step_int8_mixed"] >= agg["step_int8"] - 1e-4, (label, agg)
+        assert agg["step_int8"] >= 0.99 and agg["step_int8_mixed"] >= 0.99, (
+            label, agg)
 
 
 def _assert_gates(report, min_stimuli):

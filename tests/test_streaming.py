@@ -124,3 +124,92 @@ def test_fused_packet_codec_equals_oneshot(codec, rng):
         assert abs(wav.shape[1] - ref_wav.shape[1]) < 256, (wav.shape, ref_wav.shape)
         np.testing.assert_allclose(wav[:, :n], ref_wav[:, :n], atol=1e-5,
                                    err_msg=f"L={L}")
+
+
+# ---------------------------------------------------------------------------
+# Fast serving mode (precision='default') on the streaming paths — the knobs
+# (approx_snake / voc_dtype / bf16 MXU) must reach the streaming programs so
+# a fast codec is numerically consistent streaming vs offline (advisor r3).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fast_codec():
+    return BVRNNCodecModel(config=small_conf(), seed=3, length_bucket=16,
+                           precision="default")
+
+
+def _jaxpr_prims(closed):
+    names: set = set()
+
+    def walk(jaxpr):
+        for eqn in jaxpr.eqns:
+            names.add(eqn.primitive.name)
+            for v in eqn.params.values():
+                for item in (v if isinstance(v, (list, tuple)) else (v,)):
+                    sub = getattr(item, "jaxpr", item)
+                    if hasattr(sub, "eqns"):
+                        walk(sub)
+
+    walk(closed.jaxpr)
+    return names
+
+
+def test_stream_step_fast_knobs_reach_graph(fast_codec):
+    """approx_snake swaps sin for the polynomial; compute_dtype casts the
+    whole streaming generator to bf16."""
+    from bvsc_tpu.streaming import voc_compute_dtype, voc_state_dtype
+
+    cfg = fast_codec.conf.vocoder_config
+    assert voc_compute_dtype(fast_codec) == jnp.bfloat16
+    state = generator_stream_init(cfg, batch=1, dtype=voc_state_dtype(fast_codec))
+    mel = jnp.zeros((1, cfg.num_mels, 2), jnp.float32)
+
+    closed = jax.make_jaxpr(
+        lambda p, s, m: generator_stream_step(
+            p, cfg, s, m, precision=fast_codec.bvrnn_cfg.precision,
+            approx_snake=True, compute_dtype=jnp.bfloat16)
+    )(fast_codec.vocoder_params, state, mel)
+    prims = _jaxpr_prims(closed)
+    assert "sin" not in prims and "round" in prims
+    new_state, wav = generator_stream_step(
+        fast_codec.vocoder_params, cfg, state, mel,
+        approx_snake=True, compute_dtype=jnp.bfloat16)
+    assert wav.dtype == jnp.bfloat16
+    assert all(a.dtype == jnp.bfloat16 for a in jax.tree.leaves(new_state))
+
+
+def test_fast_streaming_consistent_with_offline(fast_codec, rng):
+    """FusedPacketCodec and StreamingDecoder under precision='default' run
+    the SAME serving numerics as the offline fast decode (not the exact-f32
+    path): codes agree and waveforms match within the fast-mode contract."""
+    from bvsc_tpu.streaming import FusedPacketCodec
+
+    L = 256 * 24
+    x = (rng.standard_normal((1, L)) * 0.3).astype(np.float32)
+    codes = np.asarray(fast_codec.encode(x, 3000))
+    ref_wav = np.asarray(fast_codec.decode(codes, L))
+
+    # receiver path: StreamingDecoder with the fast codec
+    dec = StreamingDecoder(fast_codec, batch=1)
+    wav_stream = dec.feed(codes)
+    n = min(wav_stream.shape[1], ref_wav.shape[1])
+    assert wav_stream.dtype == np.float32
+    np.testing.assert_allclose(wav_stream[:, :n], ref_wav[:, :n], atol=7e-2)
+
+    # full-duplex packet path
+    fc = FusedPacketCodec(fast_codec, batch=1, bitrate=3000)
+    outs = [fc.process(x[:, i : i + 256]) for i in range(0, L, 256)]
+    outs.append(fc.flush())
+    wav_pkt = np.concatenate(outs, axis=1)
+    n = min(wav_pkt.shape[1], ref_wav.shape[1])
+    np.testing.assert_allclose(wav_pkt[:, :n], ref_wav[:, :n], atol=7e-2)
+
+
+def test_use_pallas_rejects_fast_knobs():
+    with pytest.raises(ValueError, match="approx_snake"):
+        BVRNNCodecModel(config=small_conf(), precision="default",
+                        use_pallas=True, approx_snake=True)
+    with pytest.raises(ValueError, match="voc_dtype"):
+        BVRNNCodecModel(config=small_conf(), precision="default",
+                        use_pallas=True, voc_dtype="bf16")
