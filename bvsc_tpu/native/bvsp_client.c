@@ -13,8 +13,11 @@
  *
  * encode-ent / decode-ent negotiate adaptive entropy-coded code payloads
  * (protocol FLAG_ENTROPY; bvsc_tpu/serve/entropy_wire.py): encode-ent
- * emits the daemon's CODES_ENT_OUT frames verbatim (~80-96 % smaller on
- * the demo checkpoint), decode-ent forwards CODES_ENT frames.  A recorded
+ * emits the daemon's CODES_ENT_OUT frames verbatim (payload savings are
+ * model-dependent: ~75 % on the KLD-collapsed demo ckpt, 21-33 % on the
+ * shipped r3 ckpt at 3-5.5 kbps, NEGATIVE at 1.38 kbps/8-frame blocks —
+ * docs/artifacts/entropy_wire_stats.json),
+ * decode-ent forwards CODES_ENT frames.  A recorded
  * encode-ent .bvspf replays into decode-ent after retyping 0x84 -> 0x07
  * (the same CODES_OUT -> CODES retype the raw pipeline needs); both
  * stream coders start from the same initial state, so the payloads decode

@@ -2,11 +2,14 @@
 
 The reference transmits codes raw at k bits/frame (reference
 ``bvrnn.py:163-209`` emits the bits; no transport exists upstream).  The
-codes are far from incompressible: the Bernoulli-KL training objective
-leaves many bit positions heavily biased (collapsed latents are nearly
-constant), so even an order-0 model captures a large share of the
-redundancy — measured on the demo checkpoint's real code streams:
-80-96 % payload reduction at 1.4-5.5 kbps.
+codes can be far from incompressible: the Bernoulli-KL training objective
+leaves bit positions biased, so an order-0 adaptive model captures real
+redundancy — but HOW MUCH is model-dependent (measured r4,
+docs/artifacts/entropy_wire_stats.json, 8-frame blocks on held-out
+speech): 74-77 % on the overfit step-3000 demo ckpt (collapsed KLD),
+21-33 % at 3-5.5 kbps on the healthier shipped cl_step1300 ckpt, and
+NEGATIVE (-10 %) at 1.38 kbps there, where the ~4-byte per-block rANS
+flush exceeds the savings.  Treat savings as opportunistic.
 
 Design constraints (why this is NOT the prior-based coder of
 ``bvsc_tpu/entropy.py``):
