@@ -85,7 +85,7 @@ def measure_ceilings(time_fn):
     one-kernel-per-dispatch measurement and understate every ceiling several
     fold — which then inflates the phase "utilizations" above 1 and makes
     the roofline fields unauditable (observed: a loaded-host bench run
-    measured the stream ceiling at 54 GB/s vs the true ~200 GB/s)."""
+    measured the stream ceiling at 54 GB/s vs the true ~475 GB/s)."""
     import jax
     import jax.numpy as jnp
     from jax import lax

@@ -98,10 +98,12 @@ class BVRNNCodecModel:
         use_pallas: run the vocoder residual stacks as fused, space-to-depth
         folded Pallas TPU kernels (``ops.pallas_voc``).  Default OFF: on the
         axon-virtualized v5e used here, Mosaic dot throughput measures
-        1.4-5.7 TFLOP/s with ~30 us/grid-step overhead vs ~19 TFLOP/s for
-        XLA's direct convs, so the fused kernel LOSES (~70 vs ~48 ms per
-        residual stage at B=128); the direct path is already near the
-        chip's ~200 GB/s effective HBM roofline.  The kernel is equivalence
+        1.4-5.7 TFLOP/s with ~30 us/grid-step overhead, so the fused kernel
+        LOSES to XLA's direct convs (~70 vs ~48 ms per residual stage at
+        B=128) — re-confirmed r4 under the corrected dispatch-amortized
+        methodology (benchmarks/README.md: folded 56.4 vs direct 41.6 ms),
+        where the direct path measures ~1.0x of the chip's ~475 GB/s stream
+        ceiling by XLA cost_analysis bytes.  The kernel is equivalence
         -tested (tests/test_pallas_voc.py) and retained for non-virtualized
         TPU runtimes where fusing a whole resblock into two HBM passes is
         a ~5x win on paper."""

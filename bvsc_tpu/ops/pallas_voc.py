@@ -23,10 +23,12 @@ The folded-weight FLOP multiplier is s*(D+1)/k per conv (D = ceil((k-1)d/s))
 on paper, a whole-resblock reduction from ~13 HBM passes to 2.
 
 MEASURED RESULT (axon-virtualized v5e, B=128): the kernel LOSES to XLA's
-direct convs (~70 vs ~48 ms per residual stage).  Micro-probes put Mosaic
-dot throughput on this stack at 1.4-5.7 TFLOP/s with ~30 us per grid step,
-vs ~19 TFLOP/s for an XLA conv on the same chip — the serial in-kernel
-dot chain never amortizes.  Kept as an equivalence-tested opt-in
+direct convs (~70 vs ~48 ms per residual stage; re-confirmed r4 under the
+corrected dispatch-amortized methodology, benchmarks/README.md).  Micro-
+probes put Mosaic dot throughput on this stack at 1.4-5.7 TFLOP/s with
+~30 us per grid step, vs ~29 TFLOP/s f32 / ~140 TFLOP/s bf16 for XLA on
+the MXU — the serial in-kernel dot chain never amortizes.  Kept as an
+equivalence-tested opt-in
 (``BVRNNCodecModel(use_pallas=True)``) for non-virtualized TPU runtimes.
 
 Numerics: identical math to ``models.vocoder.generator_apply`` up to f32
