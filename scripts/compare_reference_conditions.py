@@ -18,7 +18,7 @@ variants) plus the raw human ratings.  This harness:
 
 Usage:
   python scripts/compare_reference_conditions.py \
-      --bvrnn_checkpoint chkpts/bvsc_bvrnn_demo_cl_step1300_f16.npz \
+      --bvrnn_checkpoint chkpts/bvsc_bvrnn_demo_augfull_step1800_f16.npz \
       --vocoder_checkpoint chkpts/bvsc_vocoder_demo_cl_ft_g_step600 \
       --bitrates 1378 5512
 

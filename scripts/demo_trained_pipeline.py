@@ -15,7 +15,7 @@ speech = load_22k('/root/reference/mushra_results_dataset/audio/stim_15/ref.wav'
 
 codec = BVRNNCodecModel(
     "configs/varbitrate.toml",
-    bvrnn_chkpt_path="chkpts/bvsc_bvrnn_demo_cl_step1300_f16.npz",
+    bvrnn_chkpt_path="chkpts/bvsc_bvrnn_demo_augfull_step1800_f16.npz",
     vocoder_chkpt_path="chkpts/bvsc_vocoder_demo_cl_ft_g_step600",
 )
 out = np.asarray(codec(speech[None, :], 3000))[0]

@@ -13,7 +13,7 @@ in this image; STOI needs no external package).
 Usage:
   python scripts/evaluate_codec.py \
       --stimuli_dir /root/reference/mushra_results_dataset/audio \
-      --bvrnn_checkpoint chkpts/bvsc_bvrnn_demo_cl_step1300_f16.npz \
+      --bvrnn_checkpoint chkpts/bvsc_bvrnn_demo_augfull_step1800_f16.npz \
       --vocoder_checkpoint chkpts/bvsc_vocoder_demo_cl_ft_g_step600 \
       --bitrates 1378 5512
 

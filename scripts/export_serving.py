@@ -9,7 +9,7 @@ deployment artifact beyond its torch checkpoints
 
 Usage:
   python scripts/export_serving.py --out demo.bvscx \
-    --bvrnn chkpts/bvsc_bvrnn_demo_cl_step1300_f16.npz \
+    --bvrnn chkpts/bvsc_bvrnn_demo_augfull_step1800_f16.npz \
     --vocoder chkpts/bvsc_vocoder_demo_cl_ft_g_step600 \
     --batch 1 --seconds 1 4 16 --platforms cpu tpu
 """

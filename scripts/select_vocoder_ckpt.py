@@ -10,7 +10,7 @@ the fine-tuning lineage exists to optimize (the vocoder must excel on
 
 Usage:
   python scripts/select_vocoder_ckpt.py \
-      --bvrnn_checkpoint chkpts/bvsc_bvrnn_demo_cl_step1300_f16.npz \
+      --bvrnn_checkpoint chkpts/bvsc_bvrnn_demo_augfull_step1800_f16.npz \
       --candidates 'exp/voc_ft4/g_????????' exp/voc_tpu/g_00010000 \
       --stimuli /root/reference/mushra_results_dataset/audio/stim_15/ref.wav
 """

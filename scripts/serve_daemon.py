@@ -6,7 +6,7 @@ together in one batched XLA dispatch per 11.6 ms frame.  The reference has
 no serving layer at all (SURVEY §1).
 
   python scripts/serve_daemon.py --config configs/varbitrate.toml \
-      --bvrnn chkpts/bvsc_bvrnn_demo_cl_step1300_f16.npz \
+      --bvrnn chkpts/bvsc_bvrnn_demo_augfull_step1800_f16.npz \
       --vocoder chkpts/bvsc_vocoder_demo_cl_ft_g_step600 \
       --port 9630 --max_streams 128
 
