@@ -85,13 +85,23 @@ def measure_ceilings(time_fn):
     one-kernel-per-dispatch measurement and understate every ceiling several
     fold — which then inflates the phase "utilizations" above 1 and makes
     the roofline fields unauditable (observed: a loaded-host bench run
-    measured the stream ceiling at 54 GB/s vs the true ~475 GB/s)."""
+    measured the stream ceiling at 54 GB/s vs the true ~475 GB/s).
+
+    Each probe additionally takes the BEST of several timing attempts: a
+    ceiling is a capability bound, and under additive tunnel/host noise
+    the max-rate (min-time) attempt is its consistent estimator — the
+    mean is biased low by RTT weather (observed run-to-run spread
+    330-479 GB/s on the stream probe), which would understate
+    denominators and spuriously push phase utilizations above 1."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     n = 4096
     reps = 32
+
+    def tmin(fn, *args, tries=3):
+        return min(time_fn(fn, *args, iters=3) for _ in range(tries))
 
     def chain_matmul(precision):
         inv = jnp.float32(1.0 / n)  # keeps the chained product at ~1.0
@@ -105,10 +115,10 @@ def measure_ceilings(time_fn):
         return jax.jit(fn)
 
     a16 = jnp.ones((n, n), jnp.bfloat16)
-    t = time_fn(chain_matmul(None), a16, a16, iters=3)
+    t = tmin(chain_matmul(None), a16, a16)
     bf16_tflops = reps * 2 * n ** 3 / t / 1e12
     a32 = jnp.ones((n, n), jnp.float32)
-    t = time_fn(chain_matmul(jax.lax.Precision.HIGHEST), a32, a32, iters=3)
+    t = tmin(chain_matmul(jax.lax.Precision.HIGHEST), a32, a32)
     f32_tflops = reps * 2 * n ** 3 / t / 1e12
 
     big = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB: HBM-resident
@@ -117,7 +127,7 @@ def measure_ceilings(time_fn):
     def chain_tanh(x):
         return lax.fori_loop(0, reps, lambda _, v: jnp.tanh(v), x).sum()
 
-    t = time_fn(chain_tanh, big, iters=3)
+    t = tmin(chain_tanh, big)
     stream_gbps = reps * 2 * big.size * 4 / t / 1e9  # read + write per rep
 
     @jax.jit
@@ -132,11 +142,11 @@ def measure_ceilings(time_fn):
 
         return lax.fori_loop(0, reps, body, x).sum()
 
-    t = time_fn(chain_axpy, big, iters=3)
+    t = tmin(chain_axpy, big)
     copy_gbps = reps * 2 * big.size * 4 / t / 1e9
 
     big16 = jnp.ones((128 * 1024 * 1024,), jnp.bfloat16)  # 256 MB
-    t = time_fn(chain_tanh, big16, iters=3)
+    t = tmin(chain_tanh, big16)
     stream16_gbps = reps * 2 * big16.size * 2 / t / 1e9
 
     @jax.jit
@@ -148,7 +158,7 @@ def measure_ceilings(time_fn):
 
         return lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    t = time_fn(chain_read, big, iters=3)  # pure-read HBM rate
+    t = tmin(chain_read, big)  # pure-read HBM rate
     read_gbps = reps * big.size * 4 / t / 1e9
     return {"bf16_matmul_tflops": round(bf16_tflops, 2),
             "f32_matmul_tflops": round(f32_tflops, 2),
@@ -319,6 +329,20 @@ def main():
             f"encode {t_enc * 1e3:.1f} + vocoder {t_voc * 1e3:.1f} vs fused "
             f"chain {t_batched * 1e3:.1f} ms")
 
+        if enc_util > 1.0 or voc_util > 1.0:
+            # A phase above its ceiling means the ceiling probe hit RTT
+            # weather this run (the phase numerators are downward-biased —
+            # their timings include per-dispatch RTT — so the denominator
+            # is the suspect).  Re-measure once and take the elementwise
+            # max (ceilings are capability bounds); if a phase still
+            # exceeds the refreshed ceiling, that is a genuine methodology
+            # violation and the bench fails below.
+            log("a phase utilization exceeded 1 — re-measuring ceilings")
+            ceil2 = measure_ceilings(time_fn)
+            ceil = {k: max(ceil[k], ceil2[k]) for k in ceil}
+            enc_tf, enc_gb, enc_util, enc_bind = util_of(enc_fl, enc_by, t_enc)
+            voc_tf, voc_gb, voc_util, voc_bind = util_of(voc_fl, voc_by, t_voc)
+            extra["ceilings"] = ceil
         for name, u in (("encode", enc_util), ("vocoder", voc_util)):
             if not (0.0 <= u <= 1.0):
                 raise AssertionError(
