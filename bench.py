@@ -71,7 +71,7 @@ def load_speech(seconds: float, n_streams: int) -> np.ndarray:
     return batch.astype(np.float32)
 
 
-def measure_ceilings(time_fn):
+def measure_ceilings(time_fn, samples=None):
     """Self-calibrated chip ceilings, measured at bench time (the honest
     denominators for the roofline-utilization fields; stale constants from
     benchmarks/README.md would silently rot if the virtualized chip
@@ -92,7 +92,13 @@ def measure_ceilings(time_fn):
     the max-rate (min-time) attempt is its consistent estimator — the
     mean is biased low by RTT weather (observed run-to-run spread
     330-479 GB/s on the stream probe), which would understate
-    denominators and spuriously push phase utilizations above 1."""
+    denominators and spuriously push phase utilizations above 1.
+
+    ``samples``: optional dict; per-try times for the f32/bf16 stream
+    probes are appended under 'stream_f32_times'/'stream_bf16_times' so
+    the caller can report element rates WITH their min/max spread
+    (VERDICT r4 #4 — the bf16-vs-f32 element-rate claim must be auditable
+    from the artifact, not from one collapsed best-of number)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -100,8 +106,11 @@ def measure_ceilings(time_fn):
     n = 4096
     reps = 32
 
-    def tmin(fn, *args, tries=3):
-        return min(time_fn(fn, *args, iters=3) for _ in range(tries))
+    def tmin(fn, *args, tries=3, record=None):
+        ts = [time_fn(fn, *args, iters=3) for _ in range(tries)]
+        if record is not None and samples is not None:
+            samples.setdefault(record, []).extend(ts)
+        return min(ts)
 
     def chain_matmul(precision):
         inv = jnp.float32(1.0 / n)  # keeps the chained product at ~1.0
@@ -127,7 +136,7 @@ def measure_ceilings(time_fn):
     def chain_tanh(x):
         return lax.fori_loop(0, reps, lambda _, v: jnp.tanh(v), x).sum()
 
-    t = tmin(chain_tanh, big)
+    t = tmin(chain_tanh, big, record="stream_f32_times")
     stream_gbps = reps * 2 * big.size * 4 / t / 1e9  # read + write per rep
 
     @jax.jit
@@ -146,7 +155,7 @@ def measure_ceilings(time_fn):
     copy_gbps = reps * 2 * big.size * 4 / t / 1e9
 
     big16 = jnp.ones((128 * 1024 * 1024,), jnp.bfloat16)  # 256 MB
-    t = tmin(chain_tanh, big16)
+    t = tmin(chain_tanh, big16, record="stream_bf16_times")
     stream16_gbps = reps * 2 * big16.size * 2 / t / 1e9
 
     @jax.jit
@@ -160,12 +169,56 @@ def measure_ceilings(time_fn):
 
     t = tmin(chain_read, big)  # pure-read HBM rate
     read_gbps = reps * big.size * 4 / t / 1e9
+    if samples is not None:
+        samples["stream_f32_elems_per_rep"] = big.size
+        samples["stream_bf16_elems_per_rep"] = big16.size
+        samples["stream_reps"] = reps
     return {"bf16_matmul_tflops": round(bf16_tflops, 2),
             "f32_matmul_tflops": round(f32_tflops, 2),
             "stream_f32_gbps": round(stream_gbps, 1),
             "stream_bf16_gbps": round(stream16_gbps, 1),
             "stream_copy_gbps": round(copy_gbps, 1),
             "hbm_read_gbps": round(read_gbps, 1)}
+
+
+def build_packet_chain(codec, fc, n_pkt, x_host):
+    """Build the bench's N-packet single-dispatch scan (the device-latency
+    probe) for ``codec``/``FusedPacketCodec fc``.  Module-level so
+    tests/test_streaming.py can construct+trace it on CPU with a
+    ``precision='default'`` codec — the exact configuration whose missing
+    ``approx_snake``/``voc_dtype`` knobs dtype-crashed the r4 bench
+    (VERDICT r4 #1).  Returns (jitted_fn, args)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bvsc_tpu.streaming import _fused_packet_step
+
+    chunks = jnp.asarray(
+        x_host[0, : n_pkt * fc.hop].reshape(n_pkt, 1, fc.hop))
+    bcfg, vcfg = codec.bvrnn_cfg, codec.conf.vocoder_config
+    frontend = codec.frontend
+
+    @jax.jit
+    def packet_chain(params, voc_params, state, chunks, bits):
+        def body(st, chunk):
+            # the serving knobs MUST thread here exactly as
+            # FusedPacketCodec._step passes them: with precision='default'
+            # the initial voc state is bf16 (voc_state_dtype), and omitting
+            # voc_dtype makes the step compute f32 — a scan-carry dtype
+            # mismatch that silently cost BENCH_r04 its stream_device_ms_*
+            # fields (VERDICT r4 #1)
+            st, codes, wav = _fused_packet_step(
+                params, voc_params, st, chunk, bits,
+                bcfg=bcfg, vcfg=vcfg, frontend=frontend,
+                approx_snake=codec.approx_snake,
+                voc_dtype=codec.voc_dtype)
+            return st, codes.sum() + wav.sum()
+        _, acc = jax.lax.scan(body, state, chunks)
+        return acc.sum()
+
+    args = (codec.bvrnn_params, codec.vocoder_params, fc.state,
+            chunks, fc.bits)
+    return packet_chain, args
 
 
 def main():
@@ -178,6 +231,12 @@ def main():
 
     log("devices:", jax.devices())
     extra = {}  # roofline/latency fields merged into the final JSON line
+    # Every probe guarded by a try/except appends its name here on failure;
+    # a clean run ships "skipped_probes": [] so a missing field can never
+    # drop out of the artifact silently again (VERDICT r4 #1: the r4 run
+    # lost stream_device_ms_* to a swallowed exception and still exited 0).
+    skipped = []
+    extra["skipped_probes"] = skipped
 
     seconds = 4.0
     n_streams = 128
@@ -221,15 +280,44 @@ def main():
     # ceilings are re-measured every run on this chip; utilization compares
     # each phase's analytic FLOPs/bytes against the binding ceiling, making
     # "fast as this chip allows" auditable rather than asserted.
+    # Two full ceiling runs ALWAYS, elementwise max (advisor r4: the
+    # conditional re-roll made the published ceilings a non-uniform
+    # estimator across runs — best-of-3 on clean runs, max-of-6 on >1
+    # violations); `ceilings_runs` records how many runs fed the max.
+    ceil_samples = {}
     try:
-        ceil = measure_ceilings(time_fn)
-        log(f"measured ceilings: bf16 matmul {ceil['bf16_matmul_tflops']} "
-            f"TFLOP/s, f32 matmul {ceil['f32_matmul_tflops']} TFLOP/s, "
-            f"f32 streaming {ceil['stream_f32_gbps']} GB/s, HBM read "
+        ceil = measure_ceilings(time_fn, samples=ceil_samples)
+        ceil2 = measure_ceilings(time_fn, samples=ceil_samples)
+        ceil = {k: max(ceil[k], ceil2[k]) for k in ceil}
+        extra["ceilings_runs"] = 2
+        log(f"measured ceilings (max of 2 runs): bf16 matmul "
+            f"{ceil['bf16_matmul_tflops']} TFLOP/s, f32 matmul "
+            f"{ceil['f32_matmul_tflops']} TFLOP/s, f32 streaming "
+            f"{ceil['stream_f32_gbps']} GB/s, HBM read "
             f"{ceil['hbm_read_gbps']} GB/s")
         extra["ceilings"] = ceil
+
+        # element-rate reconciliation (VERDICT r4 #4): report BOTH stream
+        # element rates with min/max spread over every timing try, so the
+        # "bf16 gives X elements/s vs f32" design note is auditable from
+        # this artifact alone (r4 shipped 346 GB/s in benchmarks/README.md
+        # vs 486 GB/s in BENCH_r04.json with no reconciliation).
+        reps_s = ceil_samples["stream_reps"]
+        for name, elems in (("f32", ceil_samples["stream_f32_elems_per_rep"]),
+                            ("bf16", ceil_samples["stream_bf16_elems_per_rep"])):
+            rates = [reps_s * elems / t / 1e9
+                     for t in ceil_samples[f"stream_{name}_times"]]
+            extra[f"stream_{name}_gelems"] = round(max(rates), 1)
+            extra[f"stream_{name}_gelems_spread"] = [
+                round(min(rates), 1), round(max(rates), 1)]
+        log(f"stream element rates: f32 {extra['stream_f32_gelems']} Gelem/s "
+            f"(spread {extra['stream_f32_gelems_spread']}), bf16 "
+            f"{extra['stream_bf16_gelems']} Gelem/s "
+            f"(spread {extra['stream_bf16_gelems_spread']}) -> bf16/f32 = "
+            f"{extra['stream_bf16_gelems'] / extra['stream_f32_gelems']:.2f}x")
     except Exception as e:  # pragma: no cover
         log("ceiling measurement skipped:", e)
+        skipped.append("ceilings")
         ceil = None
 
     # --- batch-scaling curve (VERDICT r3 #1a) --------------------------------
@@ -251,6 +339,7 @@ def main():
             del xb
         except Exception as e:  # pragma: no cover
             log(f"batch curve B={B} skipped:", e)
+            skipped.append(f"batch_curve_B{B}")
     extra.update(batch_curve=curve, n_streams_best=best_B)
 
     # --- phase breakdown (two-program composition, for comparison) ----------
@@ -338,8 +427,15 @@ def main():
             # exceeds the refreshed ceiling, that is a genuine methodology
             # violation and the bench fails below.
             log("a phase utilization exceeded 1 — re-measuring ceilings")
-            ceil2 = measure_ceilings(time_fn)
-            ceil = {k: max(ceil[k], ceil2[k]) for k in ceil}
+            try:
+                ceil3 = measure_ceilings(time_fn)
+                ceil = {k: max(ceil[k], ceil3[k]) for k in ceil}
+                extra["ceilings_runs"] = extra.get("ceilings_runs", 1) + 1
+            except Exception as e:  # pragma: no cover
+                # advisor r4: a transient tunnel error here must fall
+                # through to the [0,1] assertion on the original ceilings,
+                # not crash the bench with a raw traceback
+                log("ceiling re-measure failed, keeping originals:", e)
             enc_tf, enc_gb, enc_util, enc_bind = util_of(enc_fl, enc_by, t_enc)
             voc_tf, voc_gb, voc_util, voc_bind = util_of(voc_fl, voc_by, t_voc)
             extra["ceilings"] = ceil
@@ -360,6 +456,100 @@ def main():
             roofline_method="XLA cost_analysis flops/bytes-accessed of the "
                             "executed programs vs same-run measured ceilings",
         )
+
+    # --- encode per-step decomposition (VERDICT r4 #2a) ----------------------
+    # The encode scan measures 0.1-0.2x of every chip ceiling; the claimed
+    # explanation is per-op sequencing overhead in the sequential scan body.
+    # Make that an auditable measurement instead of an assertion:
+    #   (1) per-step time from the SLOPE between two sequence lengths (fixed
+    #       dispatch/pad/hoisted costs cancel),
+    #   (2) the scan body's post-fusion HLO op count, read from the compiled
+    #       while-body region,
+    #   (3) a synthetic k-matmul scan at the same (B, h) geometry, fit
+    #       t_step = a + b*k  ->  per-iteration overhead a, per-op cost b
+    #       (a chained 128x1024 @ 1024x1024 bf16 matmul is ~2 us of MXU work,
+    #       so b >> 2 us means sequencing, not compute, prices each op).
+    # Done-criterion: predicted a + b*n_ops within ~2x of the measured step
+    # time => the encode floor is op-count-bound and the fix is fewer ops
+    # per step (the fused_cell path), not more bandwidth.
+    try:
+        from jax import lax
+
+        t_long = time_fn(lambda w: codec.encode(w, bitrate), x)
+        x_half = x[:, : L // 2]
+        t_half = time_fn(lambda w: codec.encode(w, bitrate), x_half)
+        f_long = int(np.asarray(codec.encode(x, bitrate)).shape[1])
+        f_half = int(np.asarray(codec.encode(x_half, bitrate)).shape[1])
+        step_us = (t_long - t_half) / (f_long - f_half) * 1e6
+
+        n_ops = None
+        try:
+            import re
+
+            bits_arr = jnp.asarray(codec.bits_per_frame(bitrate), jnp.float32)
+            Lp = codec._pad_length(L)
+            xp = jnp.pad(x, ((0, 0), (0, Lp - L)))
+            txt = codec._encode_jit.lower(
+                codec.bvrnn_params, xp, bits_arr, frontend=codec.frontend
+            ).compile().as_text()
+            m = re.search(r"while\(.*?body=%?([\w.\-]+)", txt)
+            body_name = m.group(1)
+            block = txt.split(f"{body_name} ", 1)[1]
+            block = block.split("\n}", 1)[0]
+            ops = [ln for ln in block.splitlines() if " = " in ln]
+            skip_kinds = ("parameter(", "constant(", "tuple(",
+                          "get-tuple-element(", "bitcast(", "copy(")
+            real = [ln for ln in ops
+                    if not any(k in ln for k in skip_kinds)]
+            n_ops = len(real)
+            kinds = {}
+            for ln in real:
+                mm = re.search(r"= \S+ ([\w\-]+)\(", ln)
+                if mm:
+                    kinds[mm.group(1)] = kinds.get(mm.group(1), 0) + 1
+            log(f"encode scan body: {n_ops} post-fusion HLO ops "
+                f"({', '.join(f'{k}:{v}' for k, v in sorted(kinds.items()))})")
+        except Exception as e:
+            log("HLO body op count failed:", e)
+
+        B, h = x.shape[0], 1024
+        w_syn = jnp.ones((h, h), jnp.bfloat16)
+        c0 = jnp.ones((B, h), jnp.bfloat16)
+        Tsyn = 128
+        ks, ts = [], []
+        for k in (1, 2, 4, 8, 16):
+            def body(c, _, k=k):
+                for _i in range(k):
+                    c = jnp.tanh(jnp.matmul(c, w_syn))
+                return c, ()
+
+            fn = jax.jit(
+                lambda c, body=body: lax.scan(body, c, None, length=Tsyn)[0].sum())
+            t_k = time_fn(fn, c0)
+            ks.append(k)
+            ts.append(t_k / Tsyn * 1e6)
+            log(f"synthetic scan body k={k} matmuls: {ts[-1]:.2f} us/step")
+        b_us, a_us = np.polyfit(ks, ts, 1)
+        log(f"synthetic fit: t_step = {a_us:.2f} us/iter + {b_us:.2f} us/op "
+            f"(a chained (128,1024)x(1024,1024) bf16 matmul is ~2 us of MXU "
+            f"work -> overhead/op ~{max(b_us - 2.0, 0.0):.1f} us)")
+        decomp = {
+            "encode_step_us_measured": round(float(step_us), 1),
+            "scan_body_hlo_ops": n_ops,
+            "synthetic_us_per_iter": round(float(a_us), 2),
+            "synthetic_us_per_op": round(float(b_us), 2),
+        }
+        if n_ops:
+            decomp["encode_step_us_predicted"] = round(
+                float(a_us + b_us * n_ops), 1)
+            decomp["implied_us_per_op"] = round(float(step_us) / n_ops, 2)
+        extra["encode_decomposition"] = decomp
+        log(f"encode decomposition: measured {decomp['encode_step_us_measured']}"
+            f" us/step vs predicted {decomp.get('encode_step_us_predicted')}"
+            f" us/step from {n_ops} ops x {b_us:.1f} us")
+    except Exception as e:  # pragma: no cover
+        log("encode decomposition skipped:", e)
+        skipped.append("encode_decomposition")
 
     # --- batched with weight-only int8 BVRNN scans ---------------------------
     # (serving config upgrade: scan weights are the HBM-resident bulk; int8
@@ -387,6 +577,7 @@ def main():
             log("headline uses int8-scan serving config")
     except Exception as e:  # pragma: no cover
         log("batched int8 path skipped:", e)
+        skipped.append("int8_batched")
 
     # --- single-stream RTF ---------------------------------------------------
     x1 = x[:1]
@@ -417,6 +608,7 @@ def main():
         extra.update(int8_mixed_agreement=round(agree_qm, 5))
     except Exception as e:  # pragma: no cover
         log("int8 path skipped:", e)
+        skipped.append("int8_single")
 
     # --- streaming packet latency --------------------------------------------
     # (a) DEVICE property (VERDICT r2 #3): a single-dispatch lax.scan chain
@@ -425,29 +617,13 @@ def main():
     #     budget is judged against.
     # (b) host wall-clock per packet through this env's tunnel (context).
     try:
-        from bvsc_tpu.streaming import FusedPacketCodec, _fused_packet_step
+        from bvsc_tpu.streaming import FusedPacketCodec
 
         fc = FusedPacketCodec(codec, batch=1, bitrate=bitrate)
         fc.process(x_host[:1, : fc.winsize - fc.pad_left])  # start the stream
 
         n_pkt = 128
-        chunks = jnp.asarray(
-            x_host[0, : n_pkt * fc.hop].reshape(n_pkt, 1, fc.hop))
-        bcfg, vcfg = codec.bvrnn_cfg, codec.conf.vocoder_config
-        frontend = codec.frontend
-
-        @jax.jit
-        def packet_chain(params, voc_params, state, chunks, bits):
-            def body(st, chunk):
-                st, codes, wav = _fused_packet_step(
-                    params, voc_params, st, chunk, bits,
-                    bcfg=bcfg, vcfg=vcfg, frontend=frontend)
-                return st, codes.sum() + wav.sum()
-            _, acc = jax.lax.scan(body, state, chunks)
-            return acc.sum()
-
-        args_chain = (codec.bvrnn_params, codec.vocoder_params, fc.state,
-                      chunks, fc.bits)
+        packet_chain, args_chain = build_packet_chain(codec, fc, n_pkt, x_host)
         sync(packet_chain(*args_chain))  # compile
         per_run = []
         for _ in range(20):
@@ -479,6 +655,7 @@ def main():
                      stream_host_ms_p99=round(float(np.percentile(lat, 99)), 2))
     except Exception as e:  # pragma: no cover
         log("streaming latency check skipped:", e)
+        skipped.append("streaming_latency")
 
     # --- end-to-end including host transfers (context, not headline) --------
     t0 = time.perf_counter()
@@ -498,6 +675,7 @@ def main():
         extra.update(fast_vs_parity_agreement=round(agree, 5))
     except Exception as e:  # pragma: no cover
         log("code agreement check skipped:", e)
+        skipped.append("code_agreement")
 
     # --- entropy-wire payload on a NON-collapsed code distribution -----------
     # (VERDICT r3 #6) bench's codec is random-init == near-maximum-entropy
@@ -530,6 +708,7 @@ def main():
         extra.update(entropy_wire_random_init=wire)
     except Exception as e:  # pragma: no cover
         log("entropy wire measurement skipped:", e)
+        skipped.append("entropy_wire")
 
     # headline: the best measured serving point on the batch curve (the
     # knee; B=128 kept as a field for cross-round comparability)

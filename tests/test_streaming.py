@@ -206,6 +206,29 @@ def test_fast_streaming_consistent_with_offline(fast_codec, rng):
     np.testing.assert_allclose(wav_pkt[:, :n], ref_wav[:, :n], atol=7e-2)
 
 
+def test_bench_packet_chain_default_codec(fast_codec, rng):
+    """Regression for VERDICT r4 #1: bench.py's packet-chain latency probe
+    must thread approx_snake/voc_dtype exactly like FusedPacketCodec._step.
+    With a precision='default' codec the initial vocoder state is bf16, so
+    a step that computes f32 dtype-mismatches the scan carry — the trace
+    error that silently dropped stream_device_ms_* from BENCH_r04.json.
+    The chain construction is shared with bench via bench.build_packet_chain
+    and reproduces off-TPU."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+    from bvsc_tpu.streaming import FusedPacketCodec
+
+    fc = FusedPacketCodec(fast_codec, batch=1, bitrate=3000)
+    x_host = (rng.standard_normal((1, 256 * 12)) * 0.3).astype(np.float32)
+    fc.process(x_host[:1, : fc.winsize - fc.pad_left])
+    chain, args = bench.build_packet_chain(fast_codec, fc, 4, x_host)
+    acc = chain(*args)  # traces + runs; the r4 bug raised TypeError here
+    assert np.isfinite(float(acc))
+
+
 def test_use_pallas_rejects_fast_knobs():
     with pytest.raises(ValueError, match="approx_snake"):
         BVRNNCodecModel(config=small_conf(), precision="default",
