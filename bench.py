@@ -181,6 +181,44 @@ def measure_ceilings(time_fn, samples=None):
             "hbm_read_gbps": round(read_gbps, 1)}
 
 
+def encode_flops_analytic(codec, B, T, fused=False):
+    """EXACT FLOP count of the encode program (2*M*N*K per matmul — matmul
+    arithmetic is unambiguous, unlike fusion-dependent byte counts).
+
+    Needed because XLA ``cost_analysis`` counts a ``while`` body ONCE, not
+    times the trip count, so every scan program's flops are undercounted
+    ~T-fold — that is where BENCH_r04's encode utilization of 0.10-0.2x
+    came from (VERDICT r4 #2: the scan actually runs at ~0.45x of the bf16
+    matmul ceiling; verified against a direct scan-only timing in
+    benchmarks/probe_scan_cell.py).
+
+    Counted: per-step scan matmuls x T (standard cell: enc 3 + phi_z 3 +
+    dec 4 + phi_x_gen 3 + GRU 2, with their concat input widths; fused
+    cell: the 13 recombined dots) + the hoisted phi_x stack + the
+    matmul-DFT mel frontend.  Elementwise flops are omitted (<1%)."""
+    h, z, x = codec.conf.h_dim, codec.conf.z_dim, codec.conf.num_mels
+    if fused:
+        step = ((5 * h) * h          # w_h_combo
+                + h * h + h * z      # enc l2, l3
+                + z * h + h * h + h * h   # phi_z
+                + h * (4 * h)        # w_pz_combo
+                + h * h + h * h      # dec l2, l3
+                + h * h              # w_fold
+                + h * h + h * h      # px2, px3
+                + h * (3 * h))       # gi_top
+        seq = x * h + h * h + h * h + h * h + h * x  # phi_x + encx + dec4
+    else:
+        step = ((2 * h) * h + h * h + h * z          # enc
+                + z * h + h * h + h * h              # phi_z
+                + (2 * h) * h + h * h + h * h + h * x  # dec
+                + x * h + h * h + h * h              # phi_x_gen
+                + (2 * h) * (3 * h) + h * (3 * h))   # gru
+        seq = x * h + h * h + h * h                  # hoisted phi_x
+    n_fft = codec.conf.winsize
+    dft = n_fft * (2 * (n_fft // 2 + 1)) + (n_fft // 2 + 1) * x
+    return 2.0 * B * T * (step + seq + dft)
+
+
 def build_packet_chain(codec, fc, n_pkt, x_host):
     """Build the bench's N-packet single-dispatch scan (the device-latency
     probe) for ``codec``/``FusedPacketCodec fc``.  Module-level so
@@ -375,17 +413,24 @@ def main():
             return tf, gb, max(u_mxu, u_hbm), (
                 "MXU" if u_mxu >= u_hbm else "HBM")
 
-        # encode program (mel frontend + fused encode scan)
-        bits_arr = jnp.asarray(codec.bits_per_frame(bitrate), jnp.float32)
+        # encode program (mel frontend + fused encode scan).  FLOPs are
+        # EXACT analytic matmul counts, not cost_analysis: XLA counts a
+        # while body once, undercounting scan programs ~T-fold — the r4
+        # artifact's encode_roofline_util 0.10-0.2x was that undercount,
+        # not unharvested headroom (encode_flops_analytic docstring).
+        from bvsc_tpu.models import bvrnn as bvrnn_mod
+
         Lp = codec._pad_length(L)
-        xp = jnp.pad(x, ((0, 0), (0, Lp - L)))
-        enc_comp = codec._encode_jit.lower(
-            codec.bvrnn_params, xp, bits_arr, frontend=codec.frontend
-        ).compile()
-        enc_fl, enc_by = xla_cost(enc_comp)
-        enc_tf, enc_gb, enc_util, enc_bind = util_of(enc_fl, enc_by, t_enc)
-        log(f"encode phase: {enc_tf:.2f} TFLOP/s, {enc_gb:.1f} GB/s "
-            f"(XLA-measured) -> {enc_util:.2f}x of the {enc_bind} ceiling")
+        Tp = codec.frontend.num_frames(Lp)
+        enc_fused = bvrnn_mod._use_fused(codec.bvrnn_cfg, n_streams)
+        enc_fl = encode_flops_analytic(codec, n_streams, Tp, fused=enc_fused)
+        enc_tf = enc_fl / t_enc / 1e12
+        enc_util = enc_tf / ceil["bf16_matmul_tflops"]
+        enc_bind = "MXU"  # weights are VMEM-resident at this batch; the
+        # binding resource for the scan is matmul issue rate
+        log(f"encode phase: {enc_tf:.2f} TFLOP/s (exact matmul arithmetic, "
+            f"{'fused' if enc_fused else 'standard'} cell) -> "
+            f"{enc_util:.2f}x of the bf16 matmul ceiling")
 
         # standalone generator program (the vocoder phase, timed directly —
         # not by subtracting a separately-dispatched mel-only program, whose
@@ -436,7 +481,8 @@ def main():
                 # through to the [0,1] assertion on the original ceilings,
                 # not crash the bench with a raw traceback
                 log("ceiling re-measure failed, keeping originals:", e)
-            enc_tf, enc_gb, enc_util, enc_bind = util_of(enc_fl, enc_by, t_enc)
+            enc_tf = enc_fl / t_enc / 1e12
+            enc_util = enc_tf / ceil["bf16_matmul_tflops"]
             voc_tf, voc_gb, voc_util, voc_bind = util_of(voc_fl, voc_by, t_voc)
             extra["ceilings"] = ceil
         for name, u in (("encode", enc_util), ("vocoder", voc_util)):
@@ -445,16 +491,21 @@ def main():
                     f"{name} roofline utilization {u:.3f} outside [0, 1] — "
                     "measured-denominator methodology violated")
         extra.update(
+            encode_ms=round(t_enc * 1e3, 1),
             encode_tflops=round(enc_tf, 2),
-            encode_gbps=round(enc_gb, 1),
             encode_roofline_util=round(enc_util, 3),
             encode_binding_ceiling=enc_bind,
+            encode_cell="fused" if enc_fused else "standard",
             vocoder_ms=round(t_voc * 1e3, 1),
             vocoder_tflops=round(voc_tf, 2), vocoder_gbps=round(voc_gb, 1),
             vocoder_roofline_util=round(voc_util, 3),
             vocoder_binding_ceiling=voc_bind,
-            roofline_method="XLA cost_analysis flops/bytes-accessed of the "
-                            "executed programs vs same-run measured ceilings",
+            roofline_method="encode: exact analytic matmul FLOPs (XLA "
+                            "cost_analysis counts a while body once, "
+                            "undercounting scans ~T-fold — the source of "
+                            "the r4 0.10-0.2x artifact) / vocoder: XLA "
+                            "cost_analysis flops+bytes of the executed "
+                            "program; both vs same-run measured ceilings",
         )
 
     # --- encode per-step decomposition (VERDICT r4 #2a) ----------------------

@@ -42,6 +42,10 @@ def parse_args():
                         "programs on CPU and record their cost_analysis "
                         "FLOPs (backend-independent arithmetic counts)")
     p.add_argument("--skip_remat_off", action="store_true")
+    p.add_argument("--skip_variants", action="store_true",
+                   help="skip the VAE-trainer knob variants + batch curve")
+    p.add_argument("--skip_gan", action="store_true",
+                   help="skip the GAN-trainer section")
     p.add_argument("--iters", type=int, default=10)
     return p.parse_args()
 
@@ -172,7 +176,85 @@ def main():
     del trainer
     _save(rep)
 
+    # --- VAE trainer throughput knobs (VERDICT r4 #3) -----------------------
+    # fused scan cell / bf16-compute-f32-master / scan unroll, plus a batch
+    # -scaling curve at the best variant.  Utilization binds against the
+    # matmul ceiling matching the variant's compute dtype.
+    if not args.skip_variants:
+        variants = {
+            "fused": dict(fused_cell=True),
+            "bf16": dict(compute_dtype="bf16"),
+            "fused_bf16": dict(fused_cell=True, compute_dtype="bf16"),
+            "fused_bf16_u4": dict(fused_cell=True, compute_dtype="bf16",
+                                  unroll=4),
+        }
+        out = {}
+        best_name, best_t = "baseline", t_vae
+        for name, kw in variants.items():
+            tr = BVRNNTrainer(conf, seed=0, **kw)
+            sync(tr.step(mel, rng)["loss"])
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                m = tr.step(mel, rng)
+            sync(m["loss"])
+            t_v = (time.perf_counter() - t0) / args.iters
+            comp = tr._step.lower(tr.state, mel, rng).compile()
+            d = comp.cost_analysis()
+            d = d[0] if isinstance(d, (list, tuple)) else d
+            fl = float(d.get("flops", 0.0))
+            tf = fl / t_v / 1e12
+            ck = ("bf16_matmul_tflops" if kw.get("compute_dtype") == "bf16"
+                  else "f32_matmul_tflops")
+            util = tf / ceil[ck]
+            out[name] = {
+                "step_ms": round(t_v * 1e3, 1),
+                "achieved_tflops": round(tf, 2),
+                "util_vs_matmul_ceiling": round(util, 3),
+                "ceiling": ck,
+                "speedup_vs_baseline": round(t_vae / t_v, 2),
+            }
+            print(f"BVRNN trainer [{name}]: {t_v * 1e3:.0f} ms/step "
+                  f"({t_vae / t_v:.2f}x baseline), {tf:.2f} TFLOP/s "
+                  f"({util:.2f}x {ck})", flush=True)
+            assert 0.0 <= util <= 1.0, (name, util)
+            if t_v < best_t:
+                best_name, best_t = name, t_v
+            del tr
+            _save({**rep, "bvrnn_trainer_variants": out})
+        rep["bvrnn_trainer_variants"] = out
+        rep["bvrnn_trainer_best"] = {
+            "variant": best_name, "step_ms": round(best_t * 1e3, 1),
+            "speedup_vs_baseline": round(t_vae / best_t, 2)}
+
+        # batch-scaling curve at the best variant (amortizes the per-step
+        # sequential floor over more streams, like serving batching)
+        curve = {}
+        bkw = variants.get(best_name, {})
+        for B in (32, 64, 128):
+            tr = BVRNNTrainer(conf, seed=0, **bkw)
+            mel_b = jnp.asarray(np.random.default_rng(0).standard_normal(
+                (B, T, conf.num_mels)).astype(np.float32))
+            sync(tr.step(mel_b, rng)["loss"])
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                m = tr.step(mel_b, rng)
+            sync(m["loss"])
+            t_b = (time.perf_counter() - t0) / args.iters
+            curve[str(B)] = {
+                "step_ms": round(t_b * 1e3, 1),
+                "audio_s_per_s": round(B * VAE_SECONDS / t_b, 1),
+            }
+            print(f"BVRNN trainer batch curve [{best_name}] B={B}: "
+                  f"{t_b * 1e3:.0f} ms/step = "
+                  f"{B * VAE_SECONDS / t_b:.1f} audio-s/s", flush=True)
+            del tr
+        rep["bvrnn_trainer_batch_curve"] = {
+            "variant": best_name, **curve}
+        _save(rep)
+
     # --- GAN trainer (split programs, remat on; docs/TRAINING.md geometry) --
+    if args.skip_gan:
+        return
     from bvsc_tpu.train.vocoder_train import (
         GANTrainConfig, VocoderGANTrainer,
     )

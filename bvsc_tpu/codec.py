@@ -60,6 +60,8 @@ class BVRNNCodecModel:
         use_pallas: bool | None = None,
         approx_snake: bool | None = None,
         voc_dtype: str | None = None,
+        fused_cell: bool | None = None,
+        scan_unroll: int = 1,
     ):
         """precision: 'highest' (reference-parity f32 matmul passes) or
         'default' — the fast serving config: single-pass bf16 MXU matmuls
@@ -95,6 +97,25 @@ class BVRNNCodecModel:
         code-critical enc+phi_x stacks in bf16 (~99.95% agreement for ~20%
         more weight traffic; see ops.quant).
 
+        fused_cell: True/False/'auto' — run the BVRNN scans with the
+        weight-concatenated fused step (models.bvrnn fused-cell section):
+        13 dots/step instead of 15 dots + 3 concats + 2 GRU dots — the
+        lever against the op-count-bound small-batch scans (VERDICT r4
+        #2b; measured 3.69x at B=1, 0.95x at B=128,
+        benchmarks/probe_scan_cell.py).  'auto' (the None default for
+        precision='default') picks fused for traced batch <
+        models.bvrnn.FUSED_AUTO_MAX_B and standard above — so
+        single-stream/streaming paths get the 3.7x while the batched
+        engines keep the compute-bound optimum.  It changes float
+        reassociation (rare near-0.5 code flips — the standard fast-mode
+        contract); OFF for 'highest' (reference parity) and whenever
+        quantize= is set (int8 dict weights can't be re-concatenated).
+        All serving paths (offline, streaming, engines, bundles) read it
+        from bvrnn_cfg, so a given batch size sees one cell end to end.
+
+        scan_unroll: lax.scan unroll factor for the BVRNN frame loops
+        (scheduling only — numerics unchanged).
+
         use_pallas: run the vocoder residual stacks as fused, space-to-depth
         folded Pallas TPU kernels (``ops.pallas_voc``).  Default OFF: on the
         axon-virtualized v5e used here, Mosaic dot throughput measures
@@ -125,6 +146,20 @@ class BVRNNCodecModel:
             "bf16" if self.precision == jax.lax.Precision.DEFAULT else "f32"
         )
 
+        if fused_cell not in (None, True, False, "auto"):
+            raise ValueError(
+                f"fused_cell must be True/False/'auto', got {fused_cell!r}")
+        if fused_cell is None:
+            self.fused_cell = (
+                "auto" if (self.precision == jax.lax.Precision.DEFAULT
+                           and quantize is None) else False
+            )
+        else:
+            self.fused_cell = fused_cell
+        if self.fused_cell and quantize is not None:
+            raise ValueError(
+                "fused_cell is not supported with quantize= (int8 dict "
+                "weights cannot be re-concatenated); drop one")
         self.bvrnn_cfg = bvrnn_mod.BVRNNConfig(
             x_dim=conf.num_mels,
             h_dim=conf.h_dim,
@@ -132,6 +167,8 @@ class BVRNNCodecModel:
             var_bit=conf.var_bit,
             dtype=dtype,
             precision=self.precision,
+            fused_cell=self.fused_cell,
+            unroll=int(scan_unroll),
         )
         self.frontend = MelFrontend(
             sampling_rate=conf.fs,

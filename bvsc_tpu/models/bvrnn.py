@@ -42,6 +42,28 @@ class BVRNNConfig:
     # bfloat16 roughly halves HBM traffic of the weight-bound scan.
     dtype: Any = jnp.float32
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    # fused_cell: run the scan bodies with weight-concatenated matmuls
+    # (13 dots/step instead of 15 dots + 3 concats + 2 GRU dots) — the
+    # per-op-sequencing-bound scan's throughput lever (VERDICT r4 #2b).
+    # Measured full-size (benchmarks/probe_scan_cell.py, r5): 3.69x at
+    # B=1 (117.5 -> 31.8 us/step — small batches are op-count-bound), but
+    # 0.95x at B=128 (compute-bound there; the dec_l4 fold trades the
+    # 80-dim bottleneck for an extra 1024^2 matmul).  Hence the "auto"
+    # policy: fused iff the traced batch < FUSED_AUTO_MAX_B.  True/False
+    # force one cell for every batch.  Changes float reassociation, so it
+    # is a fast-serving knob (BVRNNCodecModel precision='default'), never
+    # a parity-mode one; all fused paths share the same sub-step helpers
+    # so encode_decode / decode / decode_plc stay bitwise state-synced
+    # WITH EACH OTHER at a given batch size (tests/test_bvrnn_fused.py).
+    # NOTE "auto" makes numerics a function of batch size: paths compared
+    # bitwise across batch sizes must pin the cell (the serving tests all
+    # run B <= 8, below the threshold).  Unsupported with
+    # weight-only-int8 dict weights (codec keeps the standard cell when
+    # quantize= is set).
+    fused_cell: bool | str = False
+    # lax.scan unroll factor for the frame loops (amortizes per-iteration
+    # loop overhead; >1 only changes scheduling, not numerics)
+    unroll: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -192,6 +214,167 @@ def _normalize(params, y):
 
 
 # ---------------------------------------------------------------------------
+# Fused scan cell (cfg.fused_cell) — fewer, larger ops per sequential step
+# ---------------------------------------------------------------------------
+#
+# The inference scans are bound by per-op sequencing overhead, not FLOPs or
+# bytes (benchmarks/README.md "Single-stream floor probes": ~4 us/op at any
+# batch; bench.py's encode_decomposition probe makes it auditable per run).
+# The fused cell reduces the ops on the sequential critical path by weight
+# concatenation, legal because every reference Linear that consumes
+# concat([a, b]) (reference bvrnn.py:118-145) distributes as
+# a @ W[:k] + b @ W[k:]:
+#
+#   * w_h_combo  (h, 5h):  [enc_l1(h-part) | dec_l1(h-part) | gru w_hh] —
+#     everything that reads ONLY the carried h happens in one matmul at
+#     step start;
+#   * w_pz_combo (h, 4h):  [dec_l1(phi_z-part) | gru w_ih(phi_z-part)];
+#   * w_ih_top   (h, 3h):  gru w_ih(phi_x_gen-part), applied to the
+#     generated features;
+#   * enc_l1's phi_x-part is hoisted OUT of the scan entirely (phi_x is
+#     precomputed for the whole sequence, so its enc_l1 projection is one
+#     big (B, T, h) matmul);
+#   * dec_l4 -> normalize -> phi_x_l1 folds into ONE (h, h) matmul
+#     (w_fold below): the mel-dim round trip h->x->h is affine, so the
+#     scan emits the pre-projection activation a3 and the (B, T, x) mel
+#     is produced AFTER the scan by a single hoisted dec_l4 matmul.
+#
+# Net: 13 dots/step vs 15 dots + 3 concats + 2 separate GRU dots, and two
+# sequence-sized matmuls leave the sequential path.  Reassociation differs
+# from the standard cell (~1e-7 f32), so codes can flip in rare near-0.5
+# cases — the same contract as every other fast-serving knob.  All fused
+# variants below share _fused_h_combo/_fused_tail so their per-step
+# numerics are IDENTICAL given the same (h, z_t): the closed-loop state
+# sync (reference bvrnn.py:204-206 == :226-227) holds bitwise between
+# fused encode_decode, fused decode, and fused decode_plc.
+
+
+def is_quantized(params: Params) -> bool:
+    """True for weight-only-int8 parameter pytrees (ops.quant dicts)."""
+    return isinstance(params["gru"]["w_ih"], dict)
+
+
+# "auto" threshold: fused wins while the scan step is op-count-bound; by
+# B=32 the (B, 1024) matmul tiles make it compute-bound and standard wins
+# slightly (probe_scan_cell.py: fused 3.69x at B=1, 0.95x at B=128)
+FUSED_AUTO_MAX_B = 32
+
+
+def _use_fused(cfg: BVRNNConfig, batch: int) -> bool:
+    """Resolve the fused_cell policy for a traced batch size."""
+    if cfg.fused_cell == "auto":
+        return batch < FUSED_AUTO_MAX_B
+    return bool(cfg.fused_cell)
+
+
+def _fuse_inference_params(params: Params, cfg: BVRNNConfig) -> Params:
+    """Recombine the per-step weights (see module comment above).  Runs
+    inside the traced program: the concatenations are one-time, scan-free
+    ops (~36 MB of weight movement per dispatch at full size — noise next
+    to a single scan step).  Rejects quantized dict weights."""
+    if is_quantized(params):
+        raise TypeError("fused_cell does not support quantized weights")
+    h = params["gru"]["w_hh"].shape[0]
+    enc1, enc2, enc3 = params["enc"]
+    dec = params["dec"]
+    dec1, dec2, dec3, dec4 = dec
+    px1, px2, px3 = params["phi_x"]
+    gru = params["gru"]
+    inv_std = 1.0 / params["std_mel"]
+    return {
+        "w_h_combo": jnp.concatenate(
+            [enc1["w"][h:], dec1["w"][h:], gru["w_hh"]], axis=1),
+        "w_pz_combo": jnp.concatenate(
+            [dec1["w"][:h], gru["w_ih"][h:]], axis=1),
+        "w_ih_top": gru["w_ih"][:h],
+        "w_enc1_x": enc1["w"][:h],
+        "b_enc1": enc1["b"],
+        "enc2": enc2,
+        "enc3": enc3,
+        "b_dec1": dec1["b"],
+        "dec2": dec2,
+        "dec3": dec3,
+        "dec4": dec4,
+        # dec_l4 -> normalize -> phi_x_l1 fold (exact affine identity):
+        # norm(a3 @ W4 + b4) @ Wpx1 + bpx1
+        #   == a3 @ (W4 @ (Wpx1 * inv_std[:, None]))
+        #      + ((b4 - mean) * inv_std) @ Wpx1 + bpx1
+        "w_fold": jnp.matmul(dec4["w"], px1["w"] * inv_std[:, None],
+                             precision=jax.lax.Precision.HIGHEST),
+        "b_fold": jnp.matmul((dec4["b"] - params["mean_mel"]) * inv_std,
+                             px1["w"],
+                             precision=jax.lax.Precision.HIGHEST) + px1["b"],
+        "px2": px2,
+        "px3": px3,
+        "phi_z": params["phi_z"],
+        "b_ih": gru["b_ih"],
+        "b_hh": gru["b_hh"],
+    }
+
+
+def _fused_h_combo(fp, h, prec):
+    """Everything that reads only the carried h: one (B,h)x(h,5h) matmul.
+    Returns (enc_l1 h-part, dec_l1 h-part, GRU hidden gates pre-bias)."""
+    H = h.shape[-1]
+    combo = jnp.matmul(h, fp["w_h_combo"], precision=prec)
+    return combo[..., :H], combo[..., H : 2 * H], combo[..., 2 * H :]
+
+
+def _fused_tail(fp, h, z_t, d1h, gh, prec):
+    """phi_z -> dec stack -> folded generated-feature stack -> GRU update.
+    Returns (h_next, a3) where a3 is dec's last hidden activation; the mel
+    output is a3 @ dec4 AFTER the scan (hoisted)."""
+    H = h.shape[-1]
+    p = z_t
+    for lyr in fp["phi_z"]:
+        p = jax.nn.elu(_dense(lyr, p, prec))
+    pzc = jnp.matmul(p, fp["w_pz_combo"], precision=prec)
+    d1z, gi_bot = pzc[..., :H], pzc[..., H:]
+    d = jax.nn.elu(d1z + d1h + fp["b_dec1"])
+    d = jax.nn.elu(_dense(fp["dec2"], d, prec))
+    a3 = jax.nn.elu(_dense(fp["dec3"], d, prec))
+    u = jax.nn.elu(jnp.matmul(a3, fp["w_fold"], precision=prec) + fp["b_fold"])
+    u = jax.nn.elu(_dense(fp["px2"], u, prec))
+    xg = jax.nn.elu(_dense(fp["px3"], u, prec))
+    gi = jnp.matmul(xg, fp["w_ih_top"], precision=prec) + gi_bot + fp["b_ih"]
+    ghb = gh + fp["b_hh"]
+    r = jax.nn.sigmoid(gi[..., :H] + ghb[..., :H])
+    zz = jax.nn.sigmoid(gi[..., H : 2 * H] + ghb[..., H : 2 * H])
+    n = jnp.tanh(gi[..., 2 * H :] + r * ghb[..., 2 * H :])
+    h_next = (1.0 - zz) * n + zz * h
+    return h_next, a3
+
+
+def _fused_enc(fp, encx_t, e1h, mask_t, prec):
+    """enc stack from the hoisted phi_x projection + the combo h-part."""
+    a = jax.nn.elu(encx_t + e1h + fp["b_enc1"])
+    a = jax.nn.elu(_dense(fp["enc2"], a, prec))
+    enc_t = jax.nn.sigmoid(_dense(fp["enc3"], a, prec))
+    return _apply_bit_mask(jnp.round(enc_t), mask_t)
+
+
+def _fused_prepare_encode(params, cfg, y, var_bitrate):
+    """Shared hoisted work for the fused encode-side scans."""
+    prec = cfg.precision
+    fp = _fuse_inference_params(params, cfg)
+    ynorm = _normalize(params, y.astype(cfg.dtype))
+    phi_x = phi_x_apply(params, ynorm, prec)
+    encx = jnp.matmul(phi_x, fp["w_enc1_x"], precision=prec)
+    if cfg.var_bit:
+        assert var_bitrate is not None
+        mask = bit_mask_from_bitrate(var_bitrate, cfg.z_dim).astype(cfg.dtype)
+    else:
+        mask = jnp.ones((y.shape[0], y.shape[1], cfg.z_dim), cfg.dtype)
+    return fp, encx, mask
+
+
+def _fused_dec_seq(fp, a3_seq, prec):
+    """Hoisted dec_l4: (T, B, h) activations -> (B, T, x) mel."""
+    dec_seq = _dense(fp["dec4"], a3_seq, prec)
+    return jnp.swapaxes(dec_seq, 0, 1)
+
+
+# ---------------------------------------------------------------------------
 # Inference: encode / decode scans
 # ---------------------------------------------------------------------------
 
@@ -211,6 +394,20 @@ def encode(
     the hidden state *before* consuming frame t (matches reference).
     """
     prec = cfg.precision
+    if _use_fused(cfg, y.shape[0]):
+        fp, encx, mask = _fused_prepare_encode(params, cfg, y, var_bitrate)
+
+        def fstep(h, xs):
+            encx_t, mask_t = xs
+            e1h, d1h, gh = _fused_h_combo(fp, h, prec)
+            z_t = _fused_enc(fp, encx_t, e1h, mask_t, prec)
+            h_next, _ = _fused_tail(fp, h, z_t, d1h, gh, prec)
+            return h_next, (z_t, h)
+
+        xs = (jnp.swapaxes(encx, 0, 1), jnp.swapaxes(mask, 0, 1))
+        _, (z_seq, h_seq) = jax.lax.scan(
+            fstep, h.astype(cfg.dtype), xs, unroll=cfg.unroll)
+        return jnp.swapaxes(z_seq, 0, 1), jnp.swapaxes(h_seq, 0, 1)
     ynorm = _normalize(params, y.astype(cfg.dtype))
     phi_x = phi_x_apply(params, ynorm, prec)  # (B, T, h) — hoisted matmul
     if cfg.var_bit:
@@ -233,7 +430,8 @@ def encode(
 
     # scan over time: move T to the leading axis
     xs = (jnp.swapaxes(phi_x, 0, 1), jnp.swapaxes(mask, 0, 1))
-    h_final, (z_seq, h_seq) = jax.lax.scan(step, h.astype(cfg.dtype), xs)
+    h_final, (z_seq, h_seq) = jax.lax.scan(
+        step, h.astype(cfg.dtype), xs, unroll=cfg.unroll)
     return jnp.swapaxes(z_seq, 0, 1), jnp.swapaxes(h_seq, 0, 1)
 
 
@@ -243,6 +441,20 @@ def encode_with_state(
     """Like :func:`encode` but returns the *final* hidden state — the hook
     for chunked streaming (reference encode's carried ``h``)."""
     prec = cfg.precision
+    if _use_fused(cfg, y.shape[0]):
+        fp, encx, mask = _fused_prepare_encode(params, cfg, y, var_bitrate)
+
+        def fstep(h, xs):
+            encx_t, mask_t = xs
+            e1h, d1h, gh = _fused_h_combo(fp, h, prec)
+            z_t = _fused_enc(fp, encx_t, e1h, mask_t, prec)
+            h_next, _ = _fused_tail(fp, h, z_t, d1h, gh, prec)
+            return h_next, z_t
+
+        xs = (jnp.swapaxes(encx, 0, 1), jnp.swapaxes(mask, 0, 1))
+        h_final, z_seq = jax.lax.scan(
+            fstep, h.astype(cfg.dtype), xs, unroll=cfg.unroll)
+        return jnp.swapaxes(z_seq, 0, 1), h_final
     ynorm = _normalize(params, y.astype(cfg.dtype))
     phi_x = phi_x_apply(params, ynorm, prec)
     if cfg.var_bit:
@@ -264,7 +476,8 @@ def encode_with_state(
         return h_next, z_t
 
     xs = (jnp.swapaxes(phi_x, 0, 1), jnp.swapaxes(mask, 0, 1))
-    h_final, z_seq = jax.lax.scan(step, h.astype(cfg.dtype), xs)
+    h_final, z_seq = jax.lax.scan(
+        step, h.astype(cfg.dtype), xs, unroll=cfg.unroll)
     return jnp.swapaxes(z_seq, 0, 1), h_final
 
 
@@ -294,6 +507,23 @@ def encode_decode(
     convention of the codec front door).
     """
     prec = cfg.precision
+    if _use_fused(cfg, y.shape[0]):
+        fp, encx, mask = _fused_prepare_encode(params, cfg, y, var_bitrate)
+        if frame_valid is not None:
+            mask = mask * frame_valid.astype(cfg.dtype)[:, :, None]
+
+        def fstep(h, xs):
+            encx_t, mask_t = xs
+            e1h, d1h, gh = _fused_h_combo(fp, h, prec)
+            z_t = _fused_enc(fp, encx_t, e1h, mask_t, prec)
+            h_next, a3 = _fused_tail(fp, h, z_t, d1h, gh, prec)
+            return h_next, (z_t, a3)
+
+        xs = (jnp.swapaxes(encx, 0, 1), jnp.swapaxes(mask, 0, 1))
+        h_final, (z_seq, a3_seq) = jax.lax.scan(
+            fstep, h.astype(cfg.dtype), xs, unroll=cfg.unroll)
+        return (jnp.swapaxes(z_seq, 0, 1),
+                _fused_dec_seq(fp, a3_seq, prec), h_final)
     ynorm = _normalize(params, y.astype(cfg.dtype))
     phi_x = phi_x_apply(params, ynorm, prec)
     if cfg.var_bit:
@@ -317,7 +547,8 @@ def encode_decode(
         return h_next, (z_t, dec_t)
 
     xs = (jnp.swapaxes(phi_x, 0, 1), jnp.swapaxes(mask, 0, 1))
-    h_final, (z_seq, dec_seq) = jax.lax.scan(step, h.astype(cfg.dtype), xs)
+    h_final, (z_seq, dec_seq) = jax.lax.scan(
+        step, h.astype(cfg.dtype), xs, unroll=cfg.unroll)
     return jnp.swapaxes(z_seq, 0, 1), jnp.swapaxes(dec_seq, 0, 1), h_final
 
 
@@ -341,6 +572,22 @@ def decode(
     encode on one host, decode on another) exactly synchronized.
     """
     prec = cfg.precision
+    if _use_fused(cfg, z.shape[0]):
+        # same _fused_h_combo/_fused_tail as the fused encode_decode — the
+        # combo's enc columns go unused here, but sharing the exact (h, 5h)
+        # matmul keeps the decoder's hidden trajectory bitwise identical to
+        # the encoder's closed-loop state sync in fused mode
+        fp = _fuse_inference_params(params, cfg)
+
+        def fstep(h, z_t):
+            _, d1h, gh = _fused_h_combo(fp, h, prec)
+            h_next, a3 = _fused_tail(fp, h, z_t, d1h, gh, prec)
+            return h_next, a3
+
+        h_final, a3_seq = jax.lax.scan(
+            fstep, h.astype(cfg.dtype),
+            jnp.swapaxes(z.astype(cfg.dtype), 0, 1), unroll=cfg.unroll)
+        return _fused_dec_seq(fp, a3_seq, prec), h_final
 
     def step(h, z_t):
         phi_z_t = phi_z_apply(params, z_t, prec)
@@ -352,7 +599,8 @@ def decode(
         return h_next, dec_t
 
     h_final, dec_seq = jax.lax.scan(
-        step, h.astype(cfg.dtype), jnp.swapaxes(z.astype(cfg.dtype), 0, 1)
+        step, h.astype(cfg.dtype), jnp.swapaxes(z.astype(cfg.dtype), 0, 1),
+        unroll=cfg.unroll
     )
     return jnp.swapaxes(dec_seq, 0, 1), h_final
 
@@ -411,6 +659,31 @@ def decode_plc(
     # frames stay bitwise identical to a plain decode, which itself matches
     # the encoder's per-step state sync (see :func:`decode` — a hoisted
     # phi_z would desync trained models)
+    if _use_fused(cfg, z.shape[0]):
+        # shares _fused_h_combo/_fused_tail with fused decode, so received
+        # frames stay bitwise identical to a fused clean decode; the prior
+        # stays a standard per-step MLP (it only shapes concealed codes)
+        fp = _fuse_inference_params(params, cfg)
+
+        def fstep(h, xs):
+            z_rx_t, lost_t, cmask_t = xs
+            prior_t = prior_apply(params, h, prec)
+            z_hat = jnp.round(prior_t) if mode == "map" else prior_t
+            z_conceal = _apply_bit_mask(z_hat, cmask_t)
+            z_t = jnp.where(lost_t[:, None] > 0, z_conceal, z_rx_t)
+            _, d1h, gh = _fused_h_combo(fp, h, prec)
+            h_next, a3 = _fused_tail(fp, h, z_t, d1h, gh, prec)
+            return h_next, a3
+
+        xs = (
+            jnp.swapaxes(z, 0, 1),
+            jnp.swapaxes(lost_f, 0, 1),
+            jnp.swapaxes(cmask, 0, 1),
+        )
+        h_final, a3_seq = jax.lax.scan(
+            fstep, h.astype(cfg.dtype), xs, unroll=cfg.unroll)
+        return _fused_dec_seq(fp, a3_seq, prec), h_final
+
     def step(h, xs):
         z_rx_t, lost_t, cmask_t = xs
         prior_t = prior_apply(params, h, prec)
@@ -430,7 +703,8 @@ def decode_plc(
         jnp.swapaxes(lost_f, 0, 1),
         jnp.swapaxes(cmask, 0, 1),
     )
-    h_final, dec_seq = jax.lax.scan(step, h.astype(cfg.dtype), xs)
+    h_final, dec_seq = jax.lax.scan(
+        step, h.astype(cfg.dtype), xs, unroll=cfg.unroll)
     return jnp.swapaxes(dec_seq, 0, 1), h_final
 
 
@@ -460,6 +734,9 @@ def forward_train(
     """
     prec = cfg.precision
     B, T, _ = y.shape
+    if _use_fused(cfg, B):
+        return _forward_train_fused(params, cfg, y, p_use_gen, greedy,
+                                    var_bitrate, rng)
     ynorm = _normalize(params, y.astype(cfg.dtype))
     phi_x = phi_x_apply(params, ynorm, prec)
     if cfg.var_bit:
@@ -519,5 +796,140 @@ def forward_train(
         use_gen,
         bin_noise,
     )
-    _, (dec_seq, kld_seq) = jax.lax.scan(step, (h0, h0), xs)
+    _, (dec_seq, kld_seq) = jax.lax.scan(step, (h0, h0), xs,
+                                         unroll=cfg.unroll)
     return jnp.swapaxes(dec_seq, 0, 1), jnp.mean(kld_seq)
+
+
+def _forward_train_fused(
+    params: Params,
+    cfg: BVRNNConfig,
+    y: jax.Array,
+    p_use_gen: jax.Array | float,
+    greedy: bool,
+    var_bitrate: jax.Array | None,
+    rng: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused-cell training forward (VERDICT r4 #3) — same math as
+    :func:`forward_train` up to float reassociation, with the sequential
+    step reduced from 20 dots + 4 concats to 16 dots:
+
+      * ``w_hsel_combo`` (h, 3h): enc_l1/prior_l1/dec_l1 h-parts in one
+        matmul on the scheduled-sampling-selected hidden state;
+      * BOTH GRU hidden projections (teacher h and closed-loop h2) as ONE
+        stacked (2B, h) x (h, 3h) matmul;
+      * enc_l1's phi_x part AND the teacher GRU input gates
+        (phi_x @ w_ih(top)) hoisted out of the scan over the whole
+        sequence;
+      * dec_l4 -> normalize -> phi_x_l1 folded (w_fold), mel produced by
+        one hoisted dec_l4 matmul after the scan.
+
+    The Bernoulli KL is always accumulated in f32 (with ``dtype=bfloat16``
+    compute, log(1e-3-clamped) probabilities would lose ~2 decimal digits).
+    Gradients flow through the same reassociated ops (autodiff of a
+    linear re-grouping), so this is a training-throughput knob, not a new
+    objective."""
+    prec = cfg.precision
+    B, T, _ = y.shape
+    fp = _fuse_inference_params(params, cfg)
+    gru = params["gru"]
+    enc1 = params["enc"][0]
+    prior1, prior2, prior3 = params["prior"]
+    dec1 = params["dec"][0]
+    h_dim = cfg.h_dim
+    w_hsel_combo = jnp.concatenate(
+        [enc1["w"][h_dim:], prior1["w"], dec1["w"][h_dim:]], axis=1)
+
+    ynorm = _normalize(params, y.astype(cfg.dtype))
+    phi_x = phi_x_apply(params, ynorm, prec)
+    encx = jnp.matmul(phi_x, fp["w_enc1_x"], precision=prec)
+    gi_teach_top = jnp.matmul(phi_x, fp["w_ih_top"], precision=prec)
+    if cfg.var_bit:
+        assert var_bitrate is not None
+        mask = bit_mask_from_bitrate(var_bitrate, cfg.z_dim).astype(cfg.dtype)
+    else:
+        mask = jnp.ones((B, T, cfg.z_dim), cfg.dtype)
+
+    k_sched, k_bin = jax.random.split(rng)
+    use_gen = jax.random.uniform(k_sched, (T,)) < p_use_gen
+    bin_noise = jax.random.uniform(k_bin, (T, B, cfg.z_dim), cfg.dtype)
+
+    def _gates(gi, gh, h):
+        r = jax.nn.sigmoid(gi[..., :h_dim] + gh[..., :h_dim])
+        z = jax.nn.sigmoid(gi[..., h_dim : 2 * h_dim]
+                           + gh[..., h_dim : 2 * h_dim])
+        n = jnp.tanh(gi[..., 2 * h_dim :] + r * gh[..., 2 * h_dim :])
+        return (1.0 - z) * n + z * h
+
+    def step(carry, xs):
+        h, h2 = carry
+        encx_t, gi_top_t, mask_t, use_gen_t, noise_t = xs
+        h_sel = jnp.where(use_gen_t, h2, h)
+
+        combo = jnp.matmul(h_sel, w_hsel_combo, precision=prec)
+        e1h = combo[..., :h_dim]
+        p1h = combo[..., h_dim : 2 * h_dim]
+        d1h = combo[..., 2 * h_dim :]
+
+        a = jax.nn.elu(encx_t + e1h + fp["b_enc1"])
+        a = jax.nn.elu(_dense(fp["enc2"], a, prec))
+        enc_t = jax.nn.sigmoid(_dense(fp["enc3"], a, prec))
+
+        p = jax.nn.elu(p1h + prior1["b"])
+        p = jax.nn.elu(_dense(prior2, p, prec))
+        prior_t = jax.nn.sigmoid(_dense(prior3, p, prec))
+
+        if greedy:
+            z_hard = jnp.round(enc_t)
+        else:
+            z_hard = jnp.round(noise_t - 0.5 + enc_t)
+        z_t = enc_t + jax.lax.stop_gradient(z_hard - enc_t)
+        z_t = _apply_bit_mask(z_t, mask_t)
+
+        pz = z_t
+        for lyr in fp["phi_z"]:
+            pz = jax.nn.elu(_dense(lyr, pz, prec))
+        pzc = jnp.matmul(pz, fp["w_pz_combo"], precision=prec)
+        d1z, gi_bot = pzc[..., :h_dim], pzc[..., h_dim:]
+
+        d = jax.nn.elu(d1z + d1h + fp["b_dec1"])
+        d = jax.nn.elu(_dense(fp["dec2"], d, prec))
+        a3 = jax.nn.elu(_dense(fp["dec3"], d, prec))
+        u = jax.nn.elu(
+            jnp.matmul(a3, fp["w_fold"], precision=prec) + fp["b_fold"])
+        u = jax.nn.elu(_dense(fp["px2"], u, prec))
+        xg = jax.nn.elu(_dense(fp["px3"], u, prec))
+        gi_gen_top = jnp.matmul(xg, fp["w_ih_top"], precision=prec)
+
+        # both GRU hidden projections in one stacked matmul
+        gh_pair = jnp.matmul(
+            jnp.concatenate([h, h2], axis=0), gru["w_hh"], precision=prec
+        ) + fp["b_hh"]
+        gh_h, gh_h2 = gh_pair[:B], gh_pair[B:]
+        h_next = _gates(gi_top_t + gi_bot + fp["b_ih"], gh_h, h)
+        h2_next = _gates(gi_gen_top + gi_bot + fp["b_ih"], gh_h2, h2)
+
+        # Bernoulli KL(enc || prior), clamped — in f32 always
+        c = 1e-3
+        e32 = enc_t.astype(jnp.float32)
+        p32 = prior_t.astype(jnp.float32)
+        kld_elem = e32 * (
+            jnp.log(jnp.clip(e32, min=c)) - jnp.log(jnp.clip(p32, min=c))
+        ) + (1.0 - e32) * (
+            jnp.log(jnp.clip(1.0 - e32, min=c))
+            - jnp.log(jnp.clip(1.0 - p32, min=c))
+        )
+        kld_t = jnp.mean(jnp.sum(kld_elem * mask_t.astype(jnp.float32), -1))
+        return (h_next, h2_next), (a3, kld_t)
+
+    h0 = jnp.zeros((B, cfg.h_dim), cfg.dtype)
+    xs = (
+        jnp.swapaxes(encx, 0, 1),
+        jnp.swapaxes(gi_teach_top, 0, 1),
+        jnp.swapaxes(mask, 0, 1),
+        use_gen,
+        bin_noise,
+    )
+    _, (a3_seq, kld_seq) = jax.lax.scan(step, (h0, h0), xs,
+                                        unroll=cfg.unroll)
+    return _fused_dec_seq(fp, a3_seq, prec), jnp.mean(kld_seq)

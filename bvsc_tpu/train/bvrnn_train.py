@@ -128,11 +128,23 @@ def loss_fn(
     """Gaussian NLL (learned log_sigma) + Bernoulli KLD.
 
     ``mel_in``: optional corrupted encoder input (e.g. spec-masked); the
-    NLL target is always the clean ``mel``."""
+    NLL target is always the clean ``mel``.
+
+    With ``bcfg.dtype=bfloat16`` this is the bf16-compute /
+    f32-master-weights mode (VERDICT r4 #3): the optimizer state and
+    ``params`` stay f32; the forward runs on a bf16 CAST of the params
+    (gradients flow through the cast back to f32), and the NLL/KLD
+    reductions are f32."""
+    if bcfg.dtype != jnp.float32:
+        fwd_params = jax.tree.map(lambda a: a.astype(bcfg.dtype), params)
+    else:
+        fwd_params = params
     mel_hat, kld = bvrnn_mod.forward_train(
-        params, bcfg, mel if mel_in is None else mel_in, p_use_gen, False,
-        bits, rng
+        fwd_params, bcfg, mel if mel_in is None else mel_in, p_use_gen,
+        False, bits, rng
     )
+    mel_hat = mel_hat.astype(jnp.float32)
+    kld = kld.astype(jnp.float32)
     log_sigma = params["log_sigma"][0]
     se = (mel_hat - mel) ** 2
     # NLL per element: 0.5 * exp(-2 log_sigma) * err^2 + log_sigma
@@ -186,17 +198,35 @@ class BVRNNTrainer:
         seed: int = 0,
         mean_std_mel=None,
         mel_mask: dict | None = None,
+        fused_cell: bool = False,
+        compute_dtype: str | None = None,
+        unroll: int = 1,
     ):
+        """fused_cell / compute_dtype ('bf16') / unroll: the trainer
+        throughput knobs (VERDICT r4 #3) — fused scan step, bf16 compute
+        with f32 master weights (see loss_fn), scan unroll.  All default
+        off: the reference-parity training numerics stay f32/HIGHEST."""
+        if compute_dtype not in (None, "f32", "bf16"):
+            raise ValueError(f"compute_dtype must be 'f32'/'bf16', got "
+                             f"{compute_dtype!r}")
+        bf16 = compute_dtype == "bf16"
         self.conf = conf
         self.bcfg = bvrnn_mod.BVRNNConfig(
             x_dim=conf.num_mels, h_dim=conf.h_dim, z_dim=conf.z_dim,
             var_bit=conf.var_bit,
+            dtype=jnp.bfloat16 if bf16 else jnp.float32,
+            precision=(jax.lax.Precision.DEFAULT if bf16
+                       else jax.lax.Precision.HIGHEST),
+            fused_cell=bool(fused_cell),
+            unroll=int(unroll),
         )
         self.mesh = mesh if mesh is not None else make_mesh()
         self.optimizer = make_optimizer(conf)
         if params is None:
+            # master weights are ALWAYS f32, whatever the compute dtype
             params = bvrnn_mod.init_bvrnn_params(
-                jax.random.key(seed), self.bcfg,
+                jax.random.key(seed),
+                dataclasses.replace(self.bcfg, dtype=jnp.float32),
                 mean_std_mel=mean_std_mel,
                 log_sigma_init=conf.log_sigma_init,
             )

@@ -62,6 +62,17 @@ def parse_args(argv=None):
                    help="SpecAugment-style denoising: random time/freq "
                         "stripes of the ENCODER input mel replaced by the "
                         "sequence mean (targets stay clean)")
+    p.add_argument("--fused_cell", action="store_true",
+                   help="fused scan step (weight-concatenated matmuls — "
+                        "fewer sequential ops/step; reassociated f32 "
+                        "numerics, same objective)")
+    p.add_argument("--compute_dtype", choices=["f32", "bf16"], default=None,
+                   help="bf16: forward/backward on a bf16 cast of the f32 "
+                        "master weights (optimizer state stays f32; "
+                        "NLL/KLD reduced in f32)")
+    p.add_argument("--scan_unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the frame loop "
+                        "(scheduling only)")
     _cli_common.add_platform_arg(p)
     _cli_common.add_distributed_args(p)
     return p.parse_args(argv)
@@ -149,7 +160,10 @@ def main(argv=None):
 
     mesh = make_mesh()
     trainer = BVRNNTrainer(conf, mesh=mesh, seed=args.seed, mean_std_mel=mean_std,
-                          mel_mask={} if args.mel_mask else None)
+                          mel_mask={} if args.mel_mask else None,
+                          fused_cell=args.fused_cell,
+                          compute_dtype=args.compute_dtype,
+                          unroll=args.scan_unroll)
 
     # auto-resume
     if conf.resume or ckpt.scan_checkpoint(args.checkpoint_path, "bvrnn_") is not None:
