@@ -222,6 +222,12 @@ def main():
             del tr
             _save({**rep, "bvrnn_trainer_variants": out})
         rep["bvrnn_trainer_variants"] = out
+        rep["bvrnn_trainer_variants_note"] = (
+            "step_ms and speedup_vs_baseline are the load-bearing numbers; "
+            "the tflops/util fields use XLA cost_analysis, which counts a "
+            "while body ONCE (not x trip count), so scan-program flops are "
+            "undercounted ~T-fold and differ across variants only by "
+            "program structure (see bench.py encode_flops_analytic)")
         rep["bvrnn_trainer_best"] = {
             "variant": best_name, "step_ms": round(best_t * 1e3, 1),
             "speedup_vs_baseline": round(t_vae / best_t, 2)}
