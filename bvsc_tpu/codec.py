@@ -551,11 +551,9 @@ def _forward_impl(
             ),
         )
     else:
-        voc_params, dec_mel = _voc_cast(voc_params, dec_mel, voc_dtype)
-        wav = voc_mod.generator_apply(
-            voc_params, vcfg, dec_mel, length, precision=bcfg.precision,
-            approx_snake=approx_snake,
-        )
+        wav = _voc_apply(voc_params, vcfg, dec_mel, length,
+                         precision=bcfg.precision,
+                         approx_snake=approx_snake, voc_dtype=voc_dtype)
     return wav[:, 0, :].astype(jnp.float32) / SCALING
 
 
@@ -570,6 +568,36 @@ def _voc_cast(voc_params, mel, voc_dtype):
             mel.astype(jnp.bfloat16),
         )
     return voc_params, mel
+
+
+# XLA's conv lowering for the offline generator is pathological at mid
+# batch: at B in [8, 96) the compiled program moves 3-6x the bytes of the
+# B>=96 program (measured 55-122 ms vs ~42 ms for the 4 s serving shape;
+# benchmarks/probe_b64_cliff.py + the r5 edge sweep — B<=4 is healthy at
+# 12-17 ms).  Padding the mel batch to 96 inside the program and slicing
+# the output recovers the full loss (2.35x at B=32, 2.87x at B=64,
+# probe_voc_int8_segment.py [B]).  Streaming/engine ticks use
+# generator_stream_step and are unaffected.
+VOC_BATCH_PAD_LO = 8
+VOC_BATCH_PAD_TO = 96
+
+
+def _voc_apply(voc_params, vcfg, mel, length, *, precision, approx_snake,
+               voc_dtype):
+    """generator_apply with the fast-path cast + batch bucketing above."""
+    voc_params, mel = _voc_cast(voc_params, mel, voc_dtype)
+    B = mel.shape[0]
+    if VOC_BATCH_PAD_LO <= B < VOC_BATCH_PAD_TO:
+        mel = jnp.pad(mel, ((0, VOC_BATCH_PAD_TO - B), (0, 0), (0, 0)))
+        wav = voc_mod.generator_apply(
+            voc_params, vcfg, mel, length, precision=precision,
+            approx_snake=approx_snake,
+        )
+        return wav[:B]
+    return voc_mod.generator_apply(
+        voc_params, vcfg, mel, length, precision=precision,
+        approx_snake=approx_snake,
+    )
 
 
 def _decode_mel_impl(params, codes, *, cfg):
@@ -601,11 +629,9 @@ def _decode_plc_impl(
             ),
         )
     else:
-        voc_params, mel = _voc_cast(voc_params, mel, voc_dtype)
-        wav = voc_mod.generator_apply(
-            voc_params, vcfg, mel, length, precision=bcfg.precision,
-            approx_snake=approx_snake,
-        )
+        wav = _voc_apply(voc_params, vcfg, mel, length,
+                         precision=bcfg.precision,
+                         approx_snake=approx_snake, voc_dtype=voc_dtype)
     return wav[:, 0, :].astype(jnp.float32) / SCALING
 
 
@@ -626,11 +652,9 @@ def _decode_impl(
             ),
         )
     else:
-        voc_params, mel = _voc_cast(voc_params, mel, voc_dtype)
-        wav = voc_mod.generator_apply(
-            voc_params, vcfg, mel, length, precision=bcfg.precision,
-            approx_snake=approx_snake,
-        )
+        wav = _voc_apply(voc_params, vcfg, mel, length,
+                         precision=bcfg.precision,
+                         approx_snake=approx_snake, voc_dtype=voc_dtype)
     return wav[:, 0, :].astype(jnp.float32) / SCALING
 
 

@@ -308,3 +308,23 @@ def test_fast_serving_path_close_to_parity(small_codec_and_refs):
     assert y_fast.shape == y_par.shape
     # tanh-bounded waveform; bf16 contract is ~1e-3 typical
     assert np.abs(y_par - y_fast).max() < 2e-2
+
+
+def test_voc_batch_bucketing_matches_per_stream(rng):
+    """The mid-batch vocoder padding policy (codec.VOC_BATCH_PAD_LO <= B <
+    PAD_TO pads the generator batch; an XLA small-batch conv-lowering
+    pathology costs 2-3x otherwise — benchmarks/probe_b64_cliff.py) must
+    not change decoded audio: batched rows equal per-stream decodes."""
+    from bvsc_tpu.codec import VOC_BATCH_PAD_LO
+
+    conf = small_conf()
+    codec = BVRNNCodecModel(config=conf, seed=3, length_bucket=16)
+    B = VOC_BATCH_PAD_LO  # inside the padding window
+    L = 256 * 18
+    x = (rng.standard_normal((B, L)) * 0.3).astype(np.float32)
+    codes = np.asarray(codec.encode(x, 3000))
+    wav_b = np.asarray(codec.decode(codes, L))
+    for i in (0, B - 1):
+        wav_1 = np.asarray(codec.decode(codes[i : i + 1], L))
+        np.testing.assert_allclose(wav_b[i : i + 1], wav_1, atol=2e-5,
+                                   err_msg=f"row {i}")
