@@ -587,7 +587,10 @@ def _voc_apply(voc_params, vcfg, mel, length, *, precision, approx_snake,
     """generator_apply with the fast-path cast + batch bucketing above."""
     voc_params, mel = _voc_cast(voc_params, mel, voc_dtype)
     B = mel.shape[0]
-    if VOC_BATCH_PAD_LO <= B < VOC_BATCH_PAD_TO:
+    # symbolic batch dims (jax.export shape polymorphism) skip the padding
+    # policy — the comparison below would be inconclusive for them, and a
+    # symbolic-batch program must stay batch-generic anyway
+    if isinstance(B, int) and VOC_BATCH_PAD_LO <= B < VOC_BATCH_PAD_TO:
         mel = jnp.pad(mel, ((0, VOC_BATCH_PAD_TO - B), (0, 0), (0, 0)))
         wav = voc_mod.generator_apply(
             voc_params, vcfg, mel, length, precision=precision,
