@@ -799,13 +799,26 @@ def main():
     }))
 
 
-def run_with_retry(fn, max_tries=4, delay_s=180.0):
-    """Run ``fn``; on a backend-init RuntimeError, sleep and re-exec.
+# Transient fault signatures of the tunneled TPU runtime, each observed to
+# clear on retry (r5 log): a failed backend init is cached process-wide,
+# a killed lease surfaces FAILED_PRECONDITION on the next client for a few
+# minutes, and the remote compile helper occasionally drops a response.
+_TRANSIENT_ERRORS = (
+    "Unable to initialize backend",
+    "FAILED_PRECONDITION",
+    "remote_compile",
+    "UNAVAILABLE",
+)
 
-    The tunneled TPU backend occasionally reports UNAVAILABLE for a few
-    minutes (remote lease churn), and jax caches the failed backend init for
-    the process lifetime — so the retry must be a re-exec, not a loop.
-    Attempt count is carried across execs in ``BVSC_BENCH_RETRY``.
+
+def run_with_retry(fn, max_tries=4, delay_s=180.0):
+    """Run ``fn``; on a transient tunneled-TPU RuntimeError, sleep and
+    re-exec.
+
+    jax caches a failed backend init (and can wedge client state after a
+    device-side fault) for the process lifetime — so the retry must be a
+    re-exec, not a loop.  Attempt count is carried across execs in
+    ``BVSC_BENCH_RETRY``.
     """
     import os
 
@@ -813,9 +826,10 @@ def run_with_retry(fn, max_tries=4, delay_s=180.0):
         fn()
     except RuntimeError as e:
         tries = int(os.environ.get("BVSC_BENCH_RETRY", "0"))
-        if "Unable to initialize backend" not in str(e) or tries >= max_tries - 1:
+        transient = any(s in str(e) for s in _TRANSIENT_ERRORS)
+        if not transient or tries >= max_tries - 1:
             raise
-        log(f"backend unavailable (attempt {tries + 1}/{max_tries}), "
+        log(f"transient backend error (attempt {tries + 1}/{max_tries}), "
             f"retrying in {delay_s:.0f} s:", e)
         time.sleep(delay_s)
         os.environ["BVSC_BENCH_RETRY"] = str(tries + 1)
