@@ -734,6 +734,11 @@ def forward_train(
     """
     prec = cfg.precision
     B, T, _ = y.shape
+    # a bf16-compute cfg may be driven with f32 master params (the trainer
+    # casts inside loss_fn, but validation helpers call this directly) —
+    # cast here so the scan carries stay dtype-consistent either way
+    if not is_quantized(params) and params["gru"]["w_hh"].dtype != cfg.dtype:
+        params = jax.tree.map(lambda a: a.astype(cfg.dtype), params)
     if _use_fused(cfg, B):
         return _forward_train_fused(params, cfg, y, p_use_gen, greedy,
                                     var_bitrate, rng)

@@ -164,3 +164,27 @@ def test_trainer_fused_first_loss_close_to_standard():
 def test_trainer_rejects_bad_compute_dtype():
     with pytest.raises(ValueError, match="compute_dtype"):
         BVRNNTrainer(tiny_conf(), compute_dtype="fp8")
+
+
+def test_forward_train_accepts_f32_masters_under_bf16_cfg():
+    """Validation helpers call forward_train directly with the f32 master
+    params while the trainer cfg computes bf16 — the entry cast must keep
+    the scan carries consistent (regression: r5 paired-run experiment
+    crashed at validation)."""
+    from bvsc_tpu.models import bvrnn
+
+    for fused in (False, True):
+        cfg = bvrnn.BVRNNConfig(x_dim=8, h_dim=24, z_dim=6,
+                                dtype=jnp.bfloat16,
+                                precision=jax.lax.Precision.DEFAULT,
+                                fused_cell=fused)
+        params = bvrnn.init_bvrnn_params(
+            jax.random.key(0),
+            bvrnn.BVRNNConfig(x_dim=8, h_dim=24, z_dim=6))  # f32 masters
+        y = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (1, 6, 8)).astype(np.float32))
+        vb = jnp.full((1, 6), 5.0)
+        mel_hat, kld = bvrnn.forward_train(params, cfg, y, 1.0, True, vb,
+                                           jax.random.key(1))
+        assert np.isfinite(np.asarray(mel_hat, np.float32)).all(), fused
+        assert np.isfinite(float(kld)), fused
