@@ -87,6 +87,20 @@ def main():
     print(f"bvrnn.encode_decode[default]: {t*1e3:8.2f} ms -> "
           f"RTF {audio_s/t:6.1f}x", flush=True)
 
+    # r5: the fused cell (the codec's B<32 auto path) — the op-count-bound
+    # single-stream fix (probe_scan_cell.py)
+    import dataclasses
+    fcfg = dataclasses.replace(cfg, fused_cell=True)
+    f = jax.jit(lambda p, x, b, h, cfg=fcfg: M.encode_decode(p, cfg, x, b, h))
+    t = timeit(f, params, x, bits, h)
+    print(f"bvrnn.encode_decode[default, fused_cell]: {t*1e3:8.2f} ms -> "
+          f"RTF {audio_s/t:6.1f}x", flush=True)
+    f = jax.jit(lambda p, z, h, cfg=fcfg: M.decode(p, cfg, z, h))
+    z = jax.device_put((rng.random((1, T, cfg.z_dim)) > 0.5).astype(np.float32))
+    t = timeit(f, params, z, h)
+    print(f"bvrnn.decode[default, fused_cell]: {t*1e3:8.2f} ms -> "
+          f"RTF {audio_s/t:6.1f}x", flush=True)
+
 
 if __name__ == "__main__":
     main()
