@@ -609,8 +609,30 @@ def main():
         log(f"synthetic fit: t_step = {a_us:.2f} us/iter + {b_us:.2f} us/op "
             f"(a chained (128,1024)x(1024,1024) bf16 matmul is ~2 us of MXU "
             f"work -> overhead/op ~{max(b_us - 2.0, 0.0):.1f} us)")
+        # direct scan-only timing (no frontend/hoisted work): the same
+        # program benchmarks/probe_scan_cell.py measures — anchors the
+        # slope-derived figure above
+        from bvsc_tpu.models import bvrnn as bvrnn_mod2
+
+        T_direct = 344
+        y_dir = jnp.zeros((n_streams, T_direct, codec.conf.num_mels))
+        vb_dir = jnp.full((n_streams, T_direct), 35.0)
+        h_dir = jnp.zeros((n_streams, codec.conf.h_dim))
+
+        @jax.jit
+        def scan_only(p, y, vb, h):
+            z, mel, hf = bvrnn_mod2.encode_decode(
+                p, codec.bvrnn_cfg, y, vb, h)
+            return z.sum() + mel.sum()
+
+        t_scan = time_fn(scan_only, codec.bvrnn_params, y_dir, vb_dir, h_dir)
+        scan_us = t_scan / T_direct * 1e6
+        log(f"direct encode_decode scan: {t_scan * 1e3:.1f} ms for "
+            f"{T_direct} steps = {scan_us:.1f} us/step")
+
         decomp = {
             "encode_step_us_measured": round(float(step_us), 1),
+            "scan_only_us_per_step": round(float(scan_us), 1),
             "scan_body_hlo_ops": n_ops,
             "synthetic_us_per_iter": round(float(a_us), 2),
             "synthetic_us_per_op": round(float(b_us), 2),
